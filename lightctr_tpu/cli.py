@@ -1,0 +1,187 @@
+"""Single CLI entry — the TPU replacement of the reference's compile-time
+role/model selection (main.cpp:80-282 `#ifdef` dispatch + Makefile -D
+flags): one binary-equivalent, runtime flags, no recompilation.
+
+    python -m lightctr_tpu.cli train --model fm --train data.csv --epochs 5
+    python -m lightctr_tpu.cli score --model fm --ckpt ckpt --test t.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_model(args, n_features: int, n_fields: int):
+    from .models import MODEL_REGISTRY, ffm, fm, lr, nfm, widedeep
+
+    name = args.model
+    model = MODEL_REGISTRY[name]
+    hidden = tuple(int(h) for h in args.hidden.split(",") if h)
+    if name == "lr":
+        cfg = lr.LRConfig(n_features=n_features, l2=args.l2)
+    elif name == "fm":
+        cfg = fm.FMConfig(n_features=n_features, factor=args.factor, l2=args.l2)
+    elif name == "ffm":
+        cfg = ffm.FFMConfig(
+            n_features=n_features, n_fields=n_fields, factor=args.factor, l2=args.l2
+        )
+    elif name == "nfm":
+        cfg = nfm.NFMConfig(
+            n_features=n_features,
+            factor=args.factor,
+            hidden=hidden,
+            dropout=args.dropout,
+            l2=args.l2,
+        )
+    elif name == "widedeep":
+        cfg = widedeep.WideDeepConfig(
+            n_features=n_features,
+            n_fields=n_fields,
+            embed_dim=args.factor,
+            hidden=hidden,
+            dropout=args.dropout,
+            l2=args.l2,
+        )
+    else:
+        raise SystemExit(f"unknown model {name}")
+    return model, cfg
+
+
+def _build_optimizer(args):
+    from . import optim
+
+    table = {
+        "sgd": lambda: optim.sgd(args.lr),
+        "momentum": lambda: optim.momentum(args.lr),
+        "adagrad": lambda: optim.adagrad(args.lr),
+        "rmsprop": lambda: optim.rmsprop(args.lr),
+        "adadelta": lambda: optim.adadelta(),
+        "adam": lambda: optim.adam(args.lr),
+        "ftrl": lambda: optim.ftrl(alpha=args.lr),
+    }
+    tx = table[args.optimizer]()
+    if args.grad_clip > 0:
+        from . import optim as _o
+
+        tx = _o.chain(_o.clip_by_value(args.grad_clip), tx)
+    return tx
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="lightctr_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--model", default="fm",
+                        choices=["lr", "fm", "ffm", "nfm", "widedeep"])
+    common.add_argument("--factor", type=int, default=8)
+    common.add_argument("--hidden", default="64")
+    common.add_argument("--dropout", type=float, default=0.0)
+    common.add_argument("--l2", type=float, default=0.0)
+    common.add_argument("--batch-size", type=int, default=256)
+
+    t = sub.add_parser("train", parents=[common])
+    t.add_argument("--train", required=True)
+    t.add_argument("--test", default=None)
+    t.add_argument("--epochs", type=int, default=5)
+    t.add_argument("--optimizer", default="adagrad",
+                   choices=["sgd", "momentum", "adagrad", "rmsprop", "adadelta", "adam", "ftrl"])
+    t.add_argument("--lr", type=float, default=0.1)
+    t.add_argument("--grad-clip", type=float, default=0.0)
+    t.add_argument("--ckpt", default=None, help="checkpoint output path")
+    t.add_argument("--mesh", default=None,
+                   help="DATAxMODEL, e.g. 4x2; default single-device jit")
+    t.add_argument("--cpu-devices", type=int, default=0,
+                   help="force N virtual CPU devices (mesh testing without a pod)")
+    t.add_argument("--seed", type=int, default=0)
+
+    s = sub.add_parser("score", parents=[common])
+    s.add_argument("--test", required=True)
+    s.add_argument("--ckpt", required=True)
+    s.add_argument("--n-features", type=int, required=True)
+    s.add_argument("--n-fields", type=int, default=0)
+    s.add_argument("--dump", default=None)
+
+    args = p.parse_args(argv)
+
+    if getattr(args, "cpu_devices", 0):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.cpu_devices)
+
+    from .data import load_libffm
+
+    if args.cmd == "train":
+        from .train.loop import evaluate, train_model
+
+        train_ds = load_libffm(args.train)
+        n_features = train_ds.n_features
+        if args.mesh:
+            from .parallel.sharding import round_up_vocab
+
+            n_features = round_up_vocab(n_features)
+        model, cfg = _build_model(args, n_features, train_ds.n_fields)
+        tx = _build_optimizer(args)
+
+        if args.mesh:
+            from .parallel import make_mesh, make_sharded_train_step, partition_batch
+            from .parallel.sharding import init_sharded_state
+            from .data.batching import sparse_batches
+
+            d, m = (int(x) for x in args.mesh.split("x"))
+            mesh = make_mesh(data=d, model=m)
+            state = init_sharded_state(model, cfg, tx, mesh, seed=args.seed)
+            step = make_sharded_train_step(model, cfg, tx, mesh)
+            import numpy as np
+
+            rng = np.random.default_rng(args.seed)
+            for epoch in range(args.epochs):
+                losses = []
+                for b in sparse_batches(train_ds, args.batch_size, rng=rng):
+                    state, loss = step(state, partition_batch(b, mesh))
+                    losses.append(float(loss))
+                print(f"epoch {epoch}: loss={sum(losses)/len(losses):.5f}")
+        else:
+            state = train_model(
+                model, cfg, train_ds, tx,
+                epochs=args.epochs, batch_size=args.batch_size, seed=args.seed,
+            )
+
+        metrics = evaluate(model, cfg, state.params, train_ds, args.batch_size)
+        print("train:", json.dumps(metrics))
+        if args.test:
+            test_ds = load_libffm(
+                args.test, n_features=train_ds.n_features, n_fields=train_ds.n_fields
+            )
+            print("test:", json.dumps(
+                evaluate(model, cfg, state.params, test_ds, args.batch_size)))
+        if args.ckpt:
+            from .train.checkpoint import save_checkpoint
+
+            save_checkpoint(args.ckpt, state.params, {
+                "model": args.model,
+                "n_features": train_ds.n_features,
+                "n_fields": train_ds.n_fields,
+            })
+            print(f"saved checkpoint to {args.ckpt}.npz")
+
+    elif args.cmd == "score":
+        import jax
+
+        from .serve.scorer import batch_score
+        from .train.checkpoint import load_checkpoint
+
+        model, cfg = _build_model(args, args.n_features, args.n_fields)
+        template = model.init(jax.random.PRNGKey(0), cfg)
+        params = load_checkpoint(args.ckpt, template)
+        test_ds = load_libffm(args.test, n_features=args.n_features, n_fields=max(args.n_fields, 1))
+        metrics = batch_score(model, cfg, params, test_ds,
+                              batch_size=args.batch_size, dump_path=args.dump)
+        print(json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()
