@@ -1,0 +1,141 @@
+"""GMM / PLSA / CBOW / GBM tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lightctr_tpu.models import gmm, plsa
+from lightctr_tpu.models.gbm import GBM, GBMConfig
+from lightctr_tpu.models import embedding as emb
+
+
+def test_gmm_recovers_clusters():
+    rng = np.random.default_rng(0)
+    centers = np.array([[0.0, 0.0], [5.0, 5.0], [-5.0, 5.0]], np.float32)
+    x = np.concatenate(
+        [rng.normal(c, 0.5, size=(100, 2)).astype(np.float32) for c in centers]
+    )
+    cfg = gmm.GMMConfig(n_clusters=3, dim=2, seed=1)
+    state, ll = gmm.fit(x, cfg, epochs=100)
+    labels = np.asarray(gmm.predict(state, x))
+    # each true cluster maps to one dominant predicted cluster
+    for i in range(3):
+        seg = labels[i * 100 : (i + 1) * 100]
+        assert (seg == np.bincount(seg).argmax()).mean() > 0.95
+    # means recovered (match each true center to nearest learned mean)
+    mu = np.asarray(state.mu)
+    for c in centers:
+        assert np.min(np.linalg.norm(mu - c, axis=1)) < 0.5
+
+
+def test_gmm_loglik_monotone():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(200, 4)).astype(np.float32)
+    cfg = gmm.GMMConfig(n_clusters=5, dim=4, seed=0)
+    state = gmm.init(__import__("jax").random.PRNGKey(0), cfg, jnp.asarray(x))
+    lls = []
+    for _ in range(10):
+        state, ll = gmm.em_step(state, jnp.asarray(x))
+        lls.append(float(ll))
+    assert all(b >= a - 1e-3 for a, b in zip(lls, lls[1:]))
+
+
+def test_plsa_separates_topics():
+    rng = np.random.default_rng(0)
+    # two synthetic topics over disjoint vocab halves
+    W, D = 40, 60
+    counts = np.zeros((D, W), np.float32)
+    for d in range(D):
+        if d < D // 2:
+            words = rng.integers(0, W // 2, size=50)
+        else:
+            words = rng.integers(W // 2, W, size=50)
+        np.add.at(counts[d], words, 1)
+    cfg = plsa.PLSAConfig(n_topics=2, n_words=W, seed=0)
+    state, ll = plsa.fit(counts, cfg, epochs=100)
+    topics = np.asarray(plsa.doc_topics(state))
+    first, second = topics[: D // 2], topics[D // 2 :]
+    assert (first == np.bincount(first).argmax()).mean() > 0.9
+    assert (second == np.bincount(second).argmax()).mean() > 0.9
+    assert np.bincount(first).argmax() != np.bincount(second).argmax()
+    tw = np.asarray(plsa.top_words(state, k=10))
+    # top words of the two topics come from the two vocab halves
+    halves = {int(np.median(tw[0]) // (W // 2)), int(np.median(tw[1]) // (W // 2))}
+    assert halves == {0, 1}
+
+
+def test_huffman_tree_valid():
+    counts = np.array([50, 30, 10, 5, 5])
+    node_ids, signs, mask = emb.build_huffman(counts)
+    assert node_ids.shape[0] == 5
+    # frequent words get shorter codes
+    lens = mask.sum(axis=1)
+    assert lens[0] <= lens[2] <= lens[3]
+    # all internal node ids < V-1
+    assert node_ids.max() <= 3
+    # signs are +-1 where mask on
+    assert set(np.unique(signs[mask > 0])) <= {-1.0, 1.0}
+
+
+def test_cbow_negative_sampling_learns():
+    # corpus where word pairs co-occur: (2i, 2i+1) always adjacent
+    rng = np.random.default_rng(0)
+    V = 20
+    pairs = rng.integers(0, V // 2, size=4000)
+    tokens = np.empty(8000, np.int64)
+    tokens[0::2] = pairs * 2
+    tokens[1::2] = pairs * 2 + 1
+    counts = np.bincount(tokens, minlength=V)
+    cfg = emb.CBOWConfig(vocab_size=V, dim=16, window=1, n_negatives=5,
+                         subsample_t=1e9, seed=0)
+    params = emb.train_cbow(tokens, counts, cfg, epochs=10, batch_size=256,
+                            learning_rate=0.5)
+    # CBOW learns emb[context] -> out[center]: a word's input embedding
+    # should align with its partner's OUTPUT embedding far more than with
+    # random words' output embeddings.
+    e = np.asarray(params["emb"])
+    o = np.asarray(params["out"])
+    e = e / np.linalg.norm(e, axis=1, keepdims=True).clip(1e-12)
+    o = np.linalg.norm(o, axis=1, keepdims=True).clip(1e-12) ** -1 * o
+    cross = e @ o.T
+    partner = np.mean(
+        [cross[2 * i, 2 * i + 1] for i in range(V // 2)]
+        + [cross[2 * i + 1, 2 * i] for i in range(V // 2)]
+    )
+    off = (cross.sum() - np.trace(cross)) / (V * V - V)
+    assert partner > off + 0.2
+
+
+def test_cbow_hsoftmax_runs_and_decreases():
+    rng = np.random.default_rng(0)
+    V = 12
+    tokens = rng.integers(0, V, size=3000)
+    counts = np.bincount(tokens, minlength=V)
+    cfg = emb.CBOWConfig(vocab_size=V, dim=8, window=2, mode="hsoftmax",
+                         subsample_t=1e9, seed=0)
+    losses = []
+    params = emb.train_cbow(tokens, counts, cfg, epochs=5, batch_size=256,
+                            learning_rate=0.3, log=lambda s: losses.append(s))
+    assert len(losses) == 5  # ran all epochs without NaN
+
+
+def test_gbm_binary():
+    rng = np.random.default_rng(0)
+    n = 600
+    x = rng.normal(size=(n, 10)).astype(np.float32)
+    y = ((x[:, 0] + x[:, 1] * x[:, 2]) > 0).astype(np.float32)
+    cfg = GBMConfig(n_rounds=20, max_depth=4, learning_rate=0.3, subsample=1.0,
+                    colsample=1.0, n_classes=2, seed=0)
+    model = GBM(cfg).fit(x, y)
+    p = model.predict_proba(x)[:, 1]
+    assert ((p > 0.5) == y).mean() > 0.9
+
+
+def test_gbm_multiclass():
+    rng = np.random.default_rng(1)
+    n = 450
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    y = (x[:, 0] > 0.3).astype(int) + (x[:, 1] > 0.3).astype(int)  # 3 classes
+    cfg = GBMConfig(n_rounds=15, max_depth=4, subsample=1.0, colsample=1.0,
+                    n_classes=3, seed=0)
+    model = GBM(cfg).fit(x, y)
+    assert (model.predict(x) == y).mean() > 0.85
