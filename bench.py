@@ -2,9 +2,14 @@
 
 Mirrors the reference's headline benchmark (BASELINE.md: LightCTR trains FM
 k=8 for 1000 full-batch epochs over the 1000-row train_sparse.csv in 9.32 s
-on an AVX CPU => ~107,296 examples/sec). Here the identical workload — same
-data, same model size, same full-batch Adagrad regime — runs as one jitted
-step on a TPU chip.
+on an AVX CPU => ~107,296 examples/sec). Same data, same model size, same
+full-batch Adagrad regime, run through the fused Pallas kernel trainer
+(models/fm_kernel.py: blocked one-hot MXU gather/reduce/scatter — see
+ops/fm_fused_pallas.py).
+
+Timing note: this backend's block_until_ready does not await real
+completion, so the loop is chained through the training state and forced
+with a scalar readback of the final loss.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -22,49 +27,41 @@ REFERENCE_FM_EXAMPLES_PER_SEC = 1000 * 1000 / 9.32  # BASELINE.md vs_libfm k=8
 def main():
     import jax
 
-    from lightctr_tpu import optim
+    from lightctr_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from lightctr_tpu.data import load_libffm
-    from lightctr_tpu.models import fm
-    from lightctr_tpu.train.loop import TrainState, make_train_step
+    from lightctr_tpu.models import fm_kernel
 
     ds = load_libffm("/root/reference/data/train_sparse.csv")
     batch_size = len(ds)  # full-batch, like the reference (train_fm_algo.cpp:38)
 
-    batch = {
-        "ids": ds.ids,
-        "vals": ds.vals,
-        "fields": ds.fields,
-        "mask": ds.mask,
-        "labels": ds.labels,
-        "row_mask": np.ones((batch_size,), np.float32),
-    }
-    batch = {k: jax.device_put(v) for k, v in batch.items()}
-
-    cfg = fm.FMConfig(n_features=ds.n_features, factor=8)
-    tx = optim.adagrad(0.1)
-    rng = jax.random.PRNGKey(0)
-    rng, init_rng = jax.random.split(rng)
-    params = fm.init(init_rng, cfg)
-    state = TrainState(params, tx.init(params), rng)
-    step = make_train_step(fm, cfg, tx)
+    cfg = fm_kernel.KernelFMConfig(
+        n_features=ds.n_features, factor=8, learning_rate=0.05
+    )
+    plan = fm_kernel.plan_batch(
+        ds.ids.astype(np.int64), ds.vals, ds.mask, ds.labels
+    )
+    state = fm_kernel.init(jax.random.PRNGKey(0), cfg, plan)
+    step = fm_kernel.make_train_step(cfg, plan)
 
     # warmup/compile
-    state, loss = step(state, batch)
-    jax.block_until_ready(loss)
+    state, loss = step(state)
+    float(loss)
 
-    n_steps = 200
+    n_steps = 500
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        state, loss = step(state, batch)
-    jax.block_until_ready(loss)
+        state, loss = step(state)
+    final_loss = float(loss)  # forces the dependent chain to finish
     dt = time.perf_counter() - t0
 
     examples_per_sec = n_steps * batch_size / dt
-    final_loss = float(loss)
-    if not np.isfinite(final_loss):
+    if not np.isfinite(final_loss) or final_loss > 0.7:
         print(json.dumps({"metric": "fm_examples_per_sec_per_chip", "value": 0.0,
                           "unit": "examples/sec", "vs_baseline": 0.0,
-                          "error": "non-finite loss"}))
+                          "error": f"training diverged (loss={final_loss})"}))
         sys.exit(1)
 
     print(json.dumps({

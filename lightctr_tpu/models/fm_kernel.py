@@ -1,0 +1,173 @@
+"""FM trainer on the fused Pallas kernels (ops/fm_fused_pallas.py).
+
+Trains in *unique-rank space*: the per-batch plan (sorted COO + dedup,
+ops/embedding_pallas.plan_sorted_layout) maps touched feature ids to dense
+ranks once, and every training step runs entirely on [R, D] arrays — the
+master table in the full vocabulary is only materialised on export. This
+is the TPU-native endpoint of the reference's PS pull/compute/push design
+(the pull set IS the unique-rank space; server-side Adagrad becomes a
+dense tiny update on [R, D]).
+
+For full-batch training (the reference's FM regime, train_fm_algo.cpp:38)
+the plan is computed once and the sort cost is zero per step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import fm_fused_pallas as K
+from ..ops.embedding_pallas import blocked_scatter_add, plan_sorted_layout
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelFMConfig:
+    n_features: int
+    factor: int = 8
+    learning_rate: float = 0.05
+    init_std: float = 0.01
+    l2: float = 0.0
+    interpret: bool = False
+    # exact=True runs the one-hot matmuls in fp32 (slower, fp32-faithful);
+    # False uses bf16 (fastest; quality fine for few-epoch production
+    # regimes, drifts on long small-data runs)
+    exact: bool = True
+
+
+class KernelFMState(NamedTuple):
+    w0: jax.Array
+    w0_accum: jax.Array
+    rows: jax.Array    # [R, 16] packed [w | v | pad] in unique-rank space
+    accum: jax.Array   # [R, 16] adagrad accumulator
+
+
+@dataclasses.dataclass
+class BatchPlan:
+    """Device-side plan + batch tensors in sorted-position order."""
+
+    ranks_sorted: jax.Array
+    rowid_sorted: jax.Array
+    xv_sorted: jax.Array
+    tile_base: jax.Array
+    labels: jax.Array
+    row_mask: jax.Array
+    uids: np.ndarray
+    n_unique: int
+    n_rows_pad: int
+    b_pad: int
+    n_valid_rows: float
+
+
+def plan_batch(ids, vals, mask, labels, row_mask=None, n_rows_pad=None) -> BatchPlan:
+    """Host-side batch planning. ids/vals/mask: [B, L] numpy."""
+    B, L = ids.shape
+    if row_mask is None:
+        row_mask = np.ones((B,), np.float32)
+    xv = (vals * mask).astype(np.float32)
+    plan = plan_sorted_layout(ids, mask, n_rows_pad)
+    perm = plan["perm"]
+    rowid_sorted = (perm // L).astype(np.int32)
+    b_pad = max(1 << int(np.ceil(np.log2(B))), 8)
+    return BatchPlan(
+        ranks_sorted=jnp.asarray(plan["ranks_sorted"]),
+        rowid_sorted=jnp.asarray(rowid_sorted),
+        xv_sorted=jnp.asarray(xv.reshape(-1)[perm]),
+        tile_base=jnp.asarray(plan["tile_base"]),
+        labels=jnp.asarray(labels.astype(np.float32)),
+        row_mask=jnp.asarray(row_mask.astype(np.float32)),
+        uids=plan["uids"],
+        n_unique=plan["n_unique"],
+        n_rows_pad=plan["n_rows_pad"],
+        b_pad=b_pad,
+        n_valid_rows=float(row_mask.sum()),
+    )
+
+
+def init(rng: jax.Array, cfg: KernelFMConfig, plan: BatchPlan) -> KernelFMState:
+    R = plan.n_rows_pad
+    rows = jnp.zeros((R, K.D))
+    v = jax.random.normal(rng, (R, cfg.factor)) * cfg.init_std
+    rows = rows.at[:, 1 : 1 + cfg.factor].set(v)
+    # padding rank row stays zero
+    rows = rows.at[R - 1].set(0.0)
+    return KernelFMState(
+        w0=jnp.zeros(()),
+        w0_accum=jnp.zeros(()),
+        rows=rows,
+        accum=jnp.zeros((R, K.D)),
+    )
+
+
+def make_train_step(cfg: KernelFMConfig, plan: BatchPlan):
+    n_k = cfg.factor
+    b_pad = plan.b_pad
+    R = plan.n_rows_pad
+    interp = cfg.interpret
+    B = plan.labels.shape[0]
+
+    labels_p = jnp.zeros((b_pad,)).at[:B].set(plan.labels)
+    rmask_p = jnp.zeros((b_pad,)).at[:B].set(plan.row_mask)
+    n_valid = plan.n_valid_rows
+
+    @jax.jit
+    def step(state: KernelFMState, hyper=None):
+        # hyper: optional [lr, l2] runtime override (keeps one compile
+        # across hyperparameter sweeps — compiles are expensive on
+        # tunneled backends)
+        lr = cfg.learning_rate if hyper is None else hyper[0]
+        l2 = cfg.l2 if hyper is None else hyper[1]
+        rowsum, e_pos = K.fm_forward(
+            state.rows, plan.ranks_sorted, plan.rowid_sorted, plan.xv_sorted,
+            plan.tile_base, n_k=n_k, b_pad=b_pad, interpret=interp,
+            exact=cfg.exact,
+        )
+        wx = rowsum[:, 0]
+        s = rowsum[:, 1 : 1 + n_k]
+        ss = rowsum[:, 1 + n_k : 1 + 2 * n_k]
+        logits = state.w0 + wx + 0.5 * jnp.sum(s * s - ss, axis=-1)  # [b_pad]
+        z = logits
+        per = jnp.maximum(z, 0) - z * labels_p + jnp.log1p(jnp.exp(-jnp.abs(z)))
+        loss = jnp.sum(per * rmask_p) / n_valid
+        dlogit = (jax.nn.sigmoid(z) - labels_p) * rmask_p / n_valid    # [b_pad]
+
+        duals = jnp.zeros((b_pad, K.S))
+        duals = duals.at[:, 0].set(dlogit)
+        duals = duals.at[:, 1 : 1 + n_k].set(s)
+
+        dwv_pos = K.fm_backward_positions(
+            plan.rowid_sorted, plan.xv_sorted, e_pos, duals,
+            n_k=n_k, b_pad=b_pad, interpret=interp, exact=cfg.exact,
+        )
+        grad_rows = blocked_scatter_add(
+            dwv_pos, plan.ranks_sorted, plan.tile_base,
+            n_rows=R, interpret=interp, exact=cfg.exact,
+        )
+        grad_rows = grad_rows + l2 * state.rows
+
+        accum = state.accum + grad_rows * grad_rows
+        rows = state.rows - lr * grad_rows / (jnp.sqrt(accum) + 1e-7)
+        rows = rows.at[R - 1].set(0.0)  # keep the padding rank row zero
+
+        g0 = jnp.sum(dlogit)
+        w0_accum = state.w0_accum + g0 * g0
+        w0 = state.w0 - lr * g0 / (jnp.sqrt(w0_accum) + 1e-7)
+        return KernelFMState(w0, w0_accum, rows, accum), loss
+
+    return step
+
+
+def export_tables(state: KernelFMState, plan: BatchPlan, cfg: KernelFMConfig):
+    """Materialise (w [V], v [V, K]) in full vocabulary space."""
+    w_full = np.zeros((cfg.n_features,), np.float32)
+    v_full = np.zeros((cfg.n_features, cfg.factor), np.float32)
+    rows = np.asarray(state.rows)
+    uids = plan.uids[: plan.n_unique]
+    w_full[uids] = rows[: plan.n_unique, 0]
+    v_full[uids] = rows[: plan.n_unique, 1 : 1 + cfg.factor]
+    return float(state.w0), w_full, v_full

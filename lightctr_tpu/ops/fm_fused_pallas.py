@@ -1,0 +1,176 @@
+"""Fully-fused Pallas FM training step over the sorted-COO layout.
+
+Builds on ops/embedding_pallas.py's window trick and adds the missing
+piece: per-ROW reduction (the FM sums) without per-element indexing, by a
+second one-hot matmul against row ids. The whole hot path is MXU matmuls:
+
+  KERNEL A (fwd, grid over position tiles):
+     e_pos   = onehot(rank) @ rows_window          [T, D]   (w|v packed)
+     terms   = [w*x, v*x, (v*x)^2]                 [T, S]
+     rowsum += onehot(row)^T @ terms               [Bp, S]  (revisited block)
+     also emits e_pos for the backward.
+
+  (tiny XLA glue: logits -> dlogits, s -> packed duals)
+
+  KERNEL B (bwd, grid over position tiles):
+     duals_pos = onehot(row) @ duals               [T, S]   (dlogit, s)
+     dwv_pos   = [dlogit*x, (s - v*x)*dlogit*x]    [T, D]
+
+  blocked_scatter_add (embedding_pallas): dwv_pos -> grad_rows [R, D]
+
+The FM math matches train_fm_algo.cpp:75-118 exactly (sum-of-squares
+forward, dL/dv_p = dlogit*(s - v_p x_p)*x_p backward).
+
+Layout: D = 16 (w in col 0, v in cols 1..K, zero pad), S = 32
+(terms: wx | vx[K] | vx^2[K] | pad; duals: dlogit | s[K] | pad).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .embedding_pallas import TILE, blocked_scatter_add
+
+D = 16   # packed row width: [w, v(K<=15), pad]
+S = 32   # terms/duals width
+
+
+def _fwd_kernel(base_ref, ranks_ref, rowid_ref, xv_ref,
+                rows0_ref, rows1_ref, rowsum_ref, epos_ref, *, n_k: int, b_pad: int,
+                cdt=jnp.bfloat16):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        rowsum_ref[...] = jnp.zeros_like(rowsum_ref)
+
+    base = base_ref[t] * TILE
+    local = ranks_ref[...] - base                         # [T, 1]
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (TILE, 2 * TILE), 1)
+    onehot_rank = (local == iota_r).astype(cdt)
+    window = jnp.concatenate([rows0_ref[...], rows1_ref[...]], axis=0)
+    e = jax.lax.dot_general(
+        onehot_rank, window,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                     # [T, D]
+    epos_ref[...] = e
+
+    xv = xv_ref[...]                                      # [T, 1]
+    w = e[:, 0:1]                                         # [T, 1]
+    v = e[:, 1:1 + n_k]                                   # [T, K]
+    wx = w * xv                                           # [T, 1]
+    vx = v * xv                                           # [T, K]
+    vx2 = vx * vx
+    pad = jnp.zeros((TILE, S - 1 - 2 * n_k), jnp.float32)
+    terms = jnp.concatenate([wx, vx, vx2, pad], axis=1)   # [T, S]
+
+    rid = rowid_ref[...]                                  # [T, 1]
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (TILE, b_pad), 1)
+    onehot_row = (rid == iota_b).astype(cdt)              # [T, Bp]
+    rowsum_ref[...] += jax.lax.dot_general(
+        onehot_row, terms.astype(cdt),
+        dimension_numbers=(((0,), (0,)), ((), ())),       # onehot^T @ terms
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_k", "b_pad", "interpret", "exact"))
+def fm_forward(rows, ranks_sorted, rowid_sorted, xv_sorted, tile_base,
+               n_k: int, b_pad: int, interpret: bool = False, exact: bool = False):
+    """-> (rowsum [b_pad, S], e_pos [n, D]).   rowsum cols: wx | s(K) | ss(K)."""
+    n = ranks_sorted.shape[0]
+    n_tiles = n // TILE
+    cdt = jnp.float32 if exact else jnp.bfloat16
+    rows16 = rows.astype(cdt)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((TILE, 1), lambda t, base: (t, 0)),
+            pl.BlockSpec((TILE, 1), lambda t, base: (t, 0)),
+            pl.BlockSpec((TILE, 1), lambda t, base: (t, 0)),
+            pl.BlockSpec((TILE, D), lambda t, base: (base[t], 0)),
+            pl.BlockSpec((TILE, D), lambda t, base: (base[t] + 1, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((b_pad, S), lambda t, base: (0, 0)),
+            pl.BlockSpec((TILE, D), lambda t, base: (t, 0)),
+        ),
+    )
+    kernel = functools.partial(_fwd_kernel, n_k=n_k, b_pad=b_pad, cdt=cdt)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b_pad, S), jnp.float32),
+            jax.ShapeDtypeStruct((n, D), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        tile_base,
+        ranks_sorted.reshape(n, 1),
+        rowid_sorted.reshape(n, 1),
+        xv_sorted.astype(jnp.float32).reshape(n, 1),
+        rows16,
+        rows16,
+    )
+
+
+def _bwd_kernel(rowid_ref, xv_ref, epos_ref, duals_ref, dwv_ref,
+                *, n_k: int, b_pad: int, cdt=jnp.bfloat16):
+    rid = rowid_ref[...]                                    # [T, 1]
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (TILE, b_pad), 1)
+    onehot_row = (rid == iota_b).astype(cdt)                # [T, Bp]
+    duals_pos = jax.lax.dot_general(
+        onehot_row, duals_ref[...].astype(cdt),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                       # [T, S]
+    dlogit = duals_pos[:, 0:1]                              # [T, 1]
+    s = duals_pos[:, 1:1 + n_k]                             # [T, K]
+    xv = xv_ref[...]                                        # [T, 1]
+    e = epos_ref[...]
+    v = e[:, 1:1 + n_k]
+    dw = dlogit * xv                                        # [T, 1]
+    dv = (s - v * xv) * dlogit * xv                         # [T, K]
+    pad = jnp.zeros((TILE, D - 1 - n_k), jnp.float32)
+    dwv_ref[...] = jnp.concatenate([dw, dv, pad], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_k", "b_pad", "interpret", "exact"))
+def fm_backward_positions(rowid_sorted, xv_sorted, e_pos, duals,
+                          n_k: int, b_pad: int, interpret: bool = False,
+                          exact: bool = False):
+    """duals [b_pad, S] (cols: dlogit | s(K)) -> dwv_pos [n, D]."""
+    n = rowid_sorted.shape[0]
+    n_tiles = n // TILE
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((TILE, 1), lambda t: (t, 0)),
+            pl.BlockSpec((TILE, 1), lambda t: (t, 0)),
+            pl.BlockSpec((TILE, D), lambda t: (t, 0)),
+            pl.BlockSpec((b_pad, S), lambda t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TILE, D), lambda t: (t, 0)),
+    )
+    cdt = jnp.float32 if exact else jnp.bfloat16
+    kernel = functools.partial(_bwd_kernel, n_k=n_k, b_pad=b_pad, cdt=cdt)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, D), jnp.float32),
+        interpret=interpret,
+    )(
+        rowid_sorted.reshape(n, 1),
+        xv_sorted.astype(jnp.float32).reshape(n, 1),
+        e_pos,
+        duals,
+    )
