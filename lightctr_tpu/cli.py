@@ -104,6 +104,46 @@ def main(argv=None):
     s.add_argument("--n-fields", type=int, default=0)
     s.add_argument("--dump", default=None)
 
+    # dense NN models over label,pixels CSV (reference TEST_CNN/RNN/VAE)
+    d = sub.add_parser("train-dense")
+    d.add_argument("--model", required=True, choices=["cnn", "rnn", "vae"])
+    d.add_argument("--train", required=True)
+    d.add_argument("--epochs", type=int, default=10)
+    d.add_argument("--batch-size", type=int, default=100)
+    d.add_argument("--lr", type=float, default=1e-3)
+    d.add_argument("--max-rows", type=int, default=None)
+    d.add_argument("--seed", type=int, default=0)
+
+    g = sub.add_parser("gbm")
+    g.add_argument("--train", required=True)
+    g.add_argument("--rounds", type=int, default=10)
+    g.add_argument("--max-depth", type=int, default=6)
+    g.add_argument("--n-classes", type=int, default=10)
+    g.add_argument("--max-rows", type=int, default=None)
+
+    c = sub.add_parser("gmm")
+    c.add_argument("--train", required=True)
+    c.add_argument("--clusters", type=int, default=100)
+    c.add_argument("--dim", type=int, default=10)
+    c.add_argument("--epochs", type=int, default=50)
+    c.add_argument("--dump", default=None)
+
+    t2 = sub.add_parser("plsa")
+    t2.add_argument("--docs", required=True, help="one document per line")
+    t2.add_argument("--topics", type=int, default=24)
+    t2.add_argument("--vocab-size", type=int, default=5000)
+    t2.add_argument("--epochs", type=int, default=200)
+    t2.add_argument("--top-words", type=int, default=10)
+
+    e = sub.add_parser("embed")
+    e.add_argument("--text", required=True)
+    e.add_argument("--vocab", required=True, help="reference vocab format: id word count")
+    e.add_argument("--dim", type=int, default=100)
+    e.add_argument("--window", type=int, default=6)
+    e.add_argument("--epochs", type=int, default=5)
+    e.add_argument("--mode", default="negative", choices=["negative", "hsoftmax"])
+    e.add_argument("--out", default=None)
+
     args = p.parse_args(argv)
 
     if getattr(args, "cpu_devices", 0):
@@ -111,6 +151,9 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", args.cpu_devices)
+
+    if args.cmd in ("train-dense", "gbm", "gmm", "plsa", "embed"):
+        return _run_aux_command(args)
 
     from .data import load_libffm
 
@@ -181,6 +224,104 @@ def main(argv=None):
         metrics = batch_score(model, cfg, params, test_ds,
                               batch_size=args.batch_size, dump_path=args.dump)
         print(json.dumps(metrics))
+
+
+def _run_aux_command(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if args.cmd == "train-dense":
+        from . import optim
+        from .data import dense_batches, load_dense_csv
+        from .models import cnn, rnn, vae
+
+        x, y, k = load_dense_csv(args.train, max_rows=args.max_rows)
+        module = {"cnn": cnn, "rnn": rnn, "vae": vae}[args.model]
+        if args.model == "cnn":
+            cfg = cnn.CNNConfig(n_classes=k)
+        elif args.model == "rnn":
+            cfg = rnn.RNNConfig(n_classes=k)
+        else:
+            cfg = vae.VAEConfig(input_dim=x.shape[1])
+        rng = jax.random.PRNGKey(args.seed)
+        rng, ir = jax.random.split(rng)
+        params = module.init(ir, cfg)
+        tx = optim.adam(args.lr)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, opt_state, rng, batch):
+            rng, sub = jax.random.split(rng)
+            loss, grads = jax.value_and_grad(module.loss)(params, batch, cfg, sub)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optim.apply_updates(params, updates), opt_state, rng, loss
+
+        np_rng = np.random.default_rng(args.seed)
+        for epoch in range(args.epochs):
+            losses = []
+            for b in dense_batches(x, y, args.batch_size, rng=np_rng):
+                b = {kk: jnp.asarray(v) for kk, v in b.items()}
+                params, opt_state, rng, loss = step(params, opt_state, rng, b)
+                losses.append(float(loss))
+            msg = f"epoch {epoch}: loss={np.mean(losses):.5f}"
+            if hasattr(module, "accuracy"):
+                acc = float(module.accuracy(
+                    params, {"x": jnp.asarray(x), "y": jnp.asarray(y)}, cfg))
+                msg += f" acc={acc:.4f}"
+            print(msg)
+
+    elif args.cmd == "gbm":
+        from .data import load_dense_csv
+        from .models.gbm import GBM, GBMConfig
+
+        x, y, k = load_dense_csv(args.train, max_rows=args.max_rows)
+        n_classes = max(args.n_classes, k)
+        cfg = GBMConfig(n_rounds=args.rounds, max_depth=args.max_depth,
+                        n_classes=n_classes)
+        model = GBM(cfg).fit(x, y, log=print)
+        acc = (model.predict(x) == y).mean()
+        print(f"final train accuracy: {acc:.4f}")
+
+    elif args.cmd == "gmm":
+        from .data.dense import load_cluster_data
+        from .models import gmm
+
+        x = load_cluster_data(args.train, args.dim)
+        cfg = gmm.GMMConfig(n_clusters=args.clusters, dim=args.dim)
+        state, ll = gmm.fit(x, cfg, epochs=args.epochs, log=print)
+        labels = np.asarray(gmm.predict(state, x))
+        print(f"loglik={ll:.4f}, clusters used={len(np.unique(labels))}")
+        if args.dump:
+            np.savetxt(args.dump, labels, fmt="%d")
+            print(f"assignments -> {args.dump}")
+
+    elif args.cmd == "plsa":
+        from .data.prep import text_to_bow
+        from .models import plsa
+
+        docs = [line for line in open(args.docs) if line.strip()]
+        counts, vocab = text_to_bow(docs, max_vocab=args.vocab_size)
+        cfg = plsa.PLSAConfig(n_topics=args.topics, n_words=len(vocab))
+        state, ll = plsa.fit(counts, cfg, epochs=args.epochs)
+        print(f"loglik={ll:.2f}")
+        tw = np.asarray(plsa.top_words(state, k=args.top_words))
+        for t in range(args.topics):
+            print(f"topic {t}: " + " ".join(vocab[i] for i in tw[t]))
+
+    elif args.cmd == "embed":
+        from .data.prep import tokens_from_text
+        from .models import embedding as emb
+
+        words, counts = emb.load_vocab(args.vocab)
+        tokens = tokens_from_text(args.text, words)
+        cfg = emb.CBOWConfig(vocab_size=len(words), dim=args.dim,
+                             window=args.window, mode=args.mode)
+        params = emb.train_cbow(tokens, counts, cfg, epochs=args.epochs,
+                                log=print)
+        if args.out:
+            emb.save_embeddings(args.out, params, words)
+            print(f"embeddings -> {args.out}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,73 @@
+"""Dataset preparation utilities — parity with the reference's data
+scripts (data/proc_file_split.py: random row sharding into per-worker
+`_<rank>` files; data/proc_text_topic.py: text -> bag-of-words matrix for
+the topic model).
+"""
+
+from __future__ import annotations
+
+import collections
+import re
+
+import numpy as np
+
+
+def split_for_workers(
+    path: str, n_workers: int, out_prefix: str | None = None, seed: int = 0
+) -> list[str]:
+    """Randomly shard a row-per-line file into `<prefix>_<rank>.csv` files
+    (the reference's per-worker `ad_data_<rank>.csv` layout,
+    distributed_algo_abst.h:97-100)."""
+    with open(path) as f:
+        lines = f.readlines()
+    rng = np.random.default_rng(seed)
+    assign = rng.integers(0, n_workers, len(lines))
+    prefix = out_prefix or path.rsplit(".", 1)[0]
+    paths = []
+    for rank in range(n_workers):
+        p = f"{prefix}_{rank}.csv"
+        with open(p, "w") as f:
+            for line, a in zip(lines, assign):
+                if a == rank:
+                    f.write(line)
+        paths.append(p)
+    return paths
+
+
+_TOKEN_RE = re.compile(r"[A-Za-z']+")
+
+
+def text_to_bow(
+    docs: list[str],
+    vocab: list[str] | None = None,
+    max_vocab: int = 5000,
+    lowercase: bool = True,
+):
+    """Documents -> (counts [D, W] float32, vocab list). With no vocab
+    given, builds one from corpus frequency (proc_text_topic.py flow)."""
+    tokenized = []
+    for doc in docs:
+        toks = _TOKEN_RE.findall(doc)
+        if lowercase:
+            toks = [t.lower() for t in toks]
+        tokenized.append(toks)
+    if vocab is None:
+        freq = collections.Counter(t for toks in tokenized for t in toks)
+        vocab = [w for w, _ in freq.most_common(max_vocab)]
+    index = {w: i for i, w in enumerate(vocab)}
+    counts = np.zeros((len(docs), len(vocab)), np.float32)
+    for d, toks in enumerate(tokenized):
+        for t in toks:
+            i = index.get(t)
+            if i is not None:
+                counts[d, i] += 1.0
+    return counts, vocab
+
+
+def tokens_from_text(path_or_text: str, vocab: list[str], is_path: bool = True):
+    """Text stream -> token-id array for the CBOW trainer, using a fixed
+    vocab (reference Train_Embed_Algo corpus loading)."""
+    text = open(path_or_text).read() if is_path else path_or_text
+    index = {w: i for i, w in enumerate(vocab)}
+    toks = _TOKEN_RE.findall(text.lower())
+    return np.asarray([index[t] for t in toks if t in index], np.int64)

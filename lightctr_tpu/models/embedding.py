@@ -191,6 +191,9 @@ def train_cbow(
     rng_np = np.random.default_rng(cfg.seed)
     tokens = subsample_corpus(tokens, counts, cfg.subsample_t, rng_np)
     centers, ctx, mask = make_cbow_examples(tokens, cfg.window)
+    if len(centers) == 0:
+        raise ValueError("empty corpus after subsampling")
+    batch_size = min(batch_size, len(centers))
 
     params = init(jax.random.PRNGKey(cfg.seed), cfg)
     tx = optim.adagrad(learning_rate)

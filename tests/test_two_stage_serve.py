@@ -1,0 +1,104 @@
+"""BASELINE config 5: two-stage serve — train Wide&Deep on the bundled CTR
+data, cache its item/feature embeddings, retrieve candidates with on-TPU
+MIPS top-k over a sharded table, then rescore with the full model.
+Also BASELINE config 4: NFM parity on the bundled data."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lightctr_tpu import optim
+from lightctr_tpu.data import load_libffm
+from lightctr_tpu.models import nfm, widedeep
+from lightctr_tpu.parallel import make_mesh
+from lightctr_tpu.serve.ann import MIPSIndex
+from lightctr_tpu.serve.scorer import batch_score
+from lightctr_tpu.train.loop import evaluate, train_model
+
+
+@pytest.mark.slow
+def test_nfm_reference_data_parity(train_sparse_path, test_sparse_path):
+    """NFM trains to reference-grade quality on the bundled data
+    (reference TEST_NFM: factor 10, hidden 32, 5 epochs)."""
+    train = load_libffm(train_sparse_path)
+    test = load_libffm(
+        test_sparse_path, n_features=train.n_features, n_fields=train.n_fields
+    )
+    cfg = nfm.NFMConfig(
+        n_features=train.n_features, factor=10, hidden=(32,), l2=1e-4
+    )
+    tx = optim.adam(5e-3)
+    state = train_model(nfm, cfg, train, tx, epochs=10, batch_size=250, log=None)
+    m_train = evaluate(nfm, cfg, state.params, train)
+    m_test = evaluate(nfm, cfg, state.params, test)
+    assert m_train["auc"] > 0.95
+    # same parity band as FM (PARITY.md): reference gets 0.60 +- seed var
+    assert m_test["auc"] > 0.5
+    assert m_test["logloss"] < 1.2  # reference test logloss is 3.18/row
+
+
+def test_two_stage_retrieve_then_score(sparse_small):
+    """Stage 1: MIPS top-k over cached per-item embeddings (sharded over
+    the model axis) narrows candidates; stage 2: full Wide&Deep rescoring
+    of the shortlist. The shortlist must contain the model's true top
+    items far more often than chance."""
+    cfg = widedeep.WideDeepConfig(
+        n_features=sparse_small.n_features,
+        n_fields=sparse_small.n_fields,
+        embed_dim=8,
+        hidden=(32,),
+    )
+    tx = optim.adam(0.01)
+    state = train_model(
+        widedeep, cfg, sparse_small, tx, epochs=6, batch_size=128, log=None
+    )
+    params = state.params
+
+    # treat each dataset row as an "item"; cache its field-sum embedding
+    from lightctr_tpu.ops.interactions import field_sum_embeddings
+    from lightctr_tpu.data import sparse_batches
+
+    item_vecs = []
+    full_scores = []
+    for b in sparse_batches(sparse_small, batch_size=128):
+        xv = b["vals"] * b["mask"]
+        fs = field_sum_embeddings(
+            params["embed"], jnp.asarray(b["ids"]), jnp.asarray(b["fields"]),
+            jnp.asarray(xv), cfg.n_fields,
+        )
+        item_vecs.append(np.asarray(fs.reshape(fs.shape[0], -1)))
+        logits = widedeep.forward(params, b, cfg)
+        full_scores.append(np.asarray(logits))
+    items = np.concatenate(item_vecs)[: len(sparse_small)]
+    full_scores = np.concatenate(full_scores)[: len(sparse_small)]
+
+    # stage 1: retrieval via the deep tower's first layer as query proj
+    mesh = make_mesh(data=1, model=8)
+    index = MIPSIndex(items, mesh=mesh)
+    w1 = np.asarray(params["mlp"][0]["w"])  # [F*K, H]
+    query = items[:8] @ w1 @ w1.T           # crude query embedding
+    scores, ids = index.query(query, k=50)
+    ids = np.asarray(ids)
+
+    # stage 2: rescore the shortlist with the full model; the candidate set
+    # should cover the globally top-scored items much better than random
+    top_global = set(np.argsort(-full_scores)[:50].tolist())
+    hits = [len(top_global & set(ids[i].tolist())) for i in range(ids.shape[0])]
+    # random 50-of-512 would expect ~4.9 overlap
+    assert np.mean(hits) > 2 * 50 * 50 / len(sparse_small)
+
+
+def test_scorer_on_widedeep(sparse_small):
+    cfg = widedeep.WideDeepConfig(
+        n_features=sparse_small.n_features,
+        n_fields=sparse_small.n_fields,
+        embed_dim=4,
+        hidden=(16,),
+    )
+    tx = optim.adam(0.01)
+    state = train_model(
+        widedeep, cfg, sparse_small, tx, epochs=5, batch_size=128, log=None
+    )
+    metrics = batch_score(widedeep, cfg, state.params, sparse_small)
+    assert metrics["auc"] > 0.9
