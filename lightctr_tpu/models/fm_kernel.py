@@ -136,9 +136,13 @@ def make_train_step(cfg: KernelFMConfig, plan: BatchPlan):
         loss = jnp.sum(per * rmask_p) / n_valid
         dlogit = (jax.nn.sigmoid(z) - labels_p) * rmask_p / n_valid    # [b_pad]
 
+        # generalised dual packing: a = dlogit*s, b = dlogit (FM case)
         duals = jnp.zeros((b_pad, K.S))
         duals = duals.at[:, 0].set(dlogit)
-        duals = duals.at[:, 1 : 1 + n_k].set(s)
+        duals = duals.at[:, 1 : 1 + n_k].set(dlogit[:, None] * s)
+        duals = duals.at[:, 1 + n_k : 1 + 2 * n_k].set(
+            jnp.broadcast_to(dlogit[:, None], (b_pad, n_k))
+        )
 
         dwv_pos = K.fm_backward_positions(
             plan.rowid_sorted, plan.xv_sorted, e_pos, duals,

@@ -12,17 +12,21 @@ second one-hot matmul against row ids. The whole hot path is MXU matmuls:
 
   (tiny XLA glue: logits -> dlogits, s -> packed duals)
 
-  KERNEL B (bwd, grid over position tiles):
-     duals_pos = onehot(row) @ duals               [T, S]   (dlogit, s)
-     dwv_pos   = [dlogit*x, (s - v*x)*dlogit*x]    [T, D]
+  KERNEL B (bwd, grid over position tiles) — generalised dual form:
+     duals_pos = onehot(row) @ duals               [T, S]
+     dwv_pos   = [dlogit*x, (a - b*v*x)*x]         [T, D]
+  where per-row duals pack [dlogit | a(K) | b(K)]. This one kernel serves
+  every sum-of-squares-family model:
+     FM  (y = .. + 0.5*sum(s^2-ss)):      a = dlogit*s,  b = dlogit
+     NFM (y = .. + MLP(0.5*(s^2-ss))):    a = g_pool*s,  b = g_pool
+  (derivation: d(0.5 s_k^2 - 0.5 ss_k)/dv_pk = (s_k - v_pk x_p) x_p,
+  matching the reference FM backward train_fm_algo.cpp:90-118).
 
   blocked_scatter_add (embedding_pallas): dwv_pos -> grad_rows [R, D]
 
-The FM math matches train_fm_algo.cpp:75-118 exactly (sum-of-squares
-forward, dL/dv_p = dlogit*(s - v_p x_p)*x_p backward).
-
-Layout: D = 16 (w in col 0, v in cols 1..K, zero pad), S = 32
-(terms: wx | vx[K] | vx^2[K] | pad; duals: dlogit | s[K] | pad).
+Layout: D = 16 (w in col 0, v in cols 1..K<=15, zero pad), S = 32
+(terms: wx | vx[K] | vx^2[K] | pad; duals: dlogit | a[K] | b[K] | pad,
+so K <= 15 both ways).
 """
 
 from __future__ import annotations
@@ -134,12 +138,13 @@ def _bwd_kernel(rowid_ref, xv_ref, epos_ref, duals_ref, dwv_ref,
         preferred_element_type=jnp.float32,
     )                                                       # [T, S]
     dlogit = duals_pos[:, 0:1]                              # [T, 1]
-    s = duals_pos[:, 1:1 + n_k]                             # [T, K]
+    a = duals_pos[:, 1:1 + n_k]                             # [T, K]
+    b = duals_pos[:, 1 + n_k:1 + 2 * n_k]                   # [T, K]
     xv = xv_ref[...]                                        # [T, 1]
     e = epos_ref[...]
     v = e[:, 1:1 + n_k]
     dw = dlogit * xv                                        # [T, 1]
-    dv = (s - v * xv) * dlogit * xv                         # [T, K]
+    dv = (a - b * v * xv) * xv                              # [T, K]
     pad = jnp.zeros((TILE, D - 1 - n_k), jnp.float32)
     dwv_ref[...] = jnp.concatenate([dw, dv, pad], axis=1)
 
