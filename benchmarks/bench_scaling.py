@@ -1,0 +1,79 @@
+"""Sharded-training scaling check (BASELINE: >=90% efficiency to 2 hosts).
+
+Only one real chip is reachable in this environment, so this measures the
+*logical* scaling of the sharded Wide&Deep step on a virtual CPU mesh:
+constant per-device batch (weak scaling), mesh data axis 1 -> N. On real
+multi-chip hardware the same code path applies; run there with
+JAX_PLATFORMS unset.
+
+    python benchmarks/bench_scaling.py [devices ...]      # default 1 2 4 8
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    if not any(d.platform == "tpu" for d in []):  # force CPU mesh for the virtual run
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from lightctr_tpu import optim
+    from lightctr_tpu.models import widedeep
+    from lightctr_tpu.parallel import make_mesh, make_sharded_train_step, partition_batch
+    from lightctr_tpu.parallel.sharding import init_sharded_state
+
+    sizes = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
+    per_device_batch = 256
+    n_features, n_fields, L = 1 << 16, 32, 64
+    rng = np.random.default_rng(0)
+
+    base_time = None
+    for n in sizes:
+        mesh = make_mesh(data=n, model=1, devices=jax.devices()[:n])
+        cfg = widedeep.WideDeepConfig(
+            n_features=n_features, n_fields=n_fields, embed_dim=8, hidden=(64,)
+        )
+        tx = optim.adagrad(0.05)
+        state = init_sharded_state(widedeep, cfg, tx, mesh, seed=0)
+        step = make_sharded_train_step(widedeep, cfg, tx, mesh)
+
+        B = per_device_batch * n
+        ids = rng.integers(0, n_features, (B, L)).astype(np.int32)
+        batch = {
+            "ids": jnp.asarray(ids),
+            "vals": jnp.ones((B, L), jnp.float32),
+            "fields": jnp.asarray((ids % n_fields).astype(np.int32)),
+            "mask": jnp.ones((B, L), jnp.float32),
+            "labels": jnp.asarray(rng.integers(0, 2, (B,)).astype(np.float32)),
+            "row_mask": jnp.ones((B,), jnp.float32),
+        }
+        batch = partition_batch(batch, mesh)
+
+        state, loss = step(state, batch)
+        float(loss)
+        n_steps = 20
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            state, loss = step(state, batch)
+        float(loss)
+        dt = (time.perf_counter() - t0) / n_steps
+        ex_s = B / dt
+        if base_time is None:
+            base_time = dt
+        eff = base_time / dt  # weak scaling: ideal keeps step time constant
+        print(
+            f"devices={n}: {dt*1e3:.2f} ms/step, {ex_s:,.0f} ex/s "
+            f"(weak-scaling efficiency {eff*100:.0f}%)"
+        )
+
+
+if __name__ == "__main__":
+    main()

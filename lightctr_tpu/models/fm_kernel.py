@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from ..ops import fm_fused_pallas as K
 from ..ops.embedding_pallas import blocked_scatter_add, plan_sorted_layout
+from ..ops.run_ops import plan_runs, run_broadcast, run_scatter_add
 
 
 @dataclasses.dataclass(frozen=True)
@@ -38,6 +39,12 @@ class KernelFMConfig:
     # False uses bf16 (fastest; quality fine for few-epoch production
     # regimes, drifts on long small-data runs)
     exact: bool = True
+    # runops=True computes the rank-direction gather/scatter as XLA
+    # cumsum-over-runs (ops/run_ops.py) instead of one-hot kernels.
+    # Measured SLOWER on v5e (7.7ms vs 3.7ms/step: TPU cumsum along a
+    # 384k axis costs ~19 log-passes) — kept as an alternative for
+    # hardware/shapes where scans are cheap. Default off.
+    runops: bool = False
 
 
 class KernelFMState(NamedTuple):
@@ -55,6 +62,8 @@ class BatchPlan:
     rowid_sorted: jax.Array
     xv_sorted: jax.Array
     tile_base: jax.Array
+    start_pos: jax.Array   # [R] run starts (ops/run_ops.py)
+    last_pos: jax.Array    # [R] run ends
     labels: jax.Array
     row_mask: jax.Array
     uids: np.ndarray
@@ -73,12 +82,16 @@ def plan_batch(ids, vals, mask, labels, row_mask=None, n_rows_pad=None) -> Batch
     plan = plan_sorted_layout(ids, mask, n_rows_pad)
     perm = plan["perm"]
     rowid_sorted = (perm // L).astype(np.int32)
-    b_pad = max(1 << int(np.ceil(np.log2(B))), 8)
+    # batch padding: lane-aligned
+    b_pad = max(((B + 127) // 128) * 128, 128)
+    start_pos, last_pos = plan_runs(plan["ranks_sorted"], plan["n_rows_pad"])
     return BatchPlan(
         ranks_sorted=jnp.asarray(plan["ranks_sorted"]),
         rowid_sorted=jnp.asarray(rowid_sorted),
         xv_sorted=jnp.asarray(xv.reshape(-1)[perm]),
         tile_base=jnp.asarray(plan["tile_base"]),
+        start_pos=jnp.asarray(start_pos),
+        last_pos=jnp.asarray(last_pos),
         labels=jnp.asarray(labels.astype(np.float32)),
         row_mask=jnp.asarray(row_mask.astype(np.float32)),
         uids=plan["uids"],
@@ -115,6 +128,8 @@ def make_train_step(cfg: KernelFMConfig, plan: BatchPlan):
     rmask_p = jnp.zeros((b_pad,)).at[:B].set(plan.row_mask)
     n_valid = plan.n_valid_rows
 
+    n = plan.ranks_sorted.shape[0]
+
     @jax.jit
     def step(state: KernelFMState, hyper=None):
         # hyper: optional [lr, l2] runtime override (keeps one compile
@@ -122,11 +137,28 @@ def make_train_step(cfg: KernelFMConfig, plan: BatchPlan):
         # tunneled backends)
         lr = cfg.learning_rate if hyper is None else hyper[0]
         l2 = cfg.l2 if hyper is None else hyper[1]
-        rowsum, e_pos = K.fm_forward(
-            state.rows, plan.ranks_sorted, plan.rowid_sorted, plan.xv_sorted,
-            plan.tile_base, n_k=n_k, b_pad=b_pad, interpret=interp,
-            exact=cfg.exact,
-        )
+        if cfg.runops:
+            e_pos = run_broadcast(
+                state.rows, plan.start_pos, jnp.zeros((n, K.D))
+            )
+            xv = plan.xv_sorted[:, None]
+            w_col = e_pos[:, 0:1]
+            v_cols = e_pos[:, 1 : 1 + n_k]
+            vx = v_cols * xv
+            terms = jnp.concatenate(
+                [w_col * xv, vx, vx * vx,
+                 jnp.zeros((n, K.S - 1 - 2 * n_k))], axis=1
+            )
+            rowsum = K.row_reduce(
+                plan.rowid_sorted, terms, b_pad=b_pad, interpret=interp,
+                exact=cfg.exact,
+            )
+        else:
+            rowsum, e_pos = K.fm_forward(
+                state.rows, plan.ranks_sorted, plan.rowid_sorted,
+                plan.xv_sorted, plan.tile_base, n_k=n_k, b_pad=b_pad,
+                interpret=interp, exact=cfg.exact,
+            )
         wx = rowsum[:, 0]
         s = rowsum[:, 1 : 1 + n_k]
         ss = rowsum[:, 1 + n_k : 1 + 2 * n_k]
@@ -148,10 +180,13 @@ def make_train_step(cfg: KernelFMConfig, plan: BatchPlan):
             plan.rowid_sorted, plan.xv_sorted, e_pos, duals,
             n_k=n_k, b_pad=b_pad, interpret=interp, exact=cfg.exact,
         )
-        grad_rows = blocked_scatter_add(
-            dwv_pos, plan.ranks_sorted, plan.tile_base,
-            n_rows=R, interpret=interp, exact=cfg.exact,
-        )
+        if cfg.runops:
+            grad_rows = run_scatter_add(dwv_pos, plan.last_pos)
+        else:
+            grad_rows = blocked_scatter_add(
+                dwv_pos, plan.ranks_sorted, plan.tile_base,
+                n_rows=R, interpret=interp, exact=cfg.exact,
+            )
         grad_rows = grad_rows + l2 * state.rows
 
         accum = state.accum + grad_rows * grad_rows

@@ -127,6 +127,51 @@ def fm_forward(rows, ranks_sorted, rowid_sorted, xv_sorted, tile_base,
     )
 
 
+def _row_reduce_kernel(rowid_ref, vals_ref, out_ref, *, b_pad: int,
+                       cdt=jnp.bfloat16):
+    """out[b] += sum of vals at positions with rowid==b (single revisited
+    output block; used with e_pos/terms computed outside — the slim
+    forward when run_ops handle the rank gather)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    rid = rowid_ref[...]                                  # [T, 1]
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (TILE, b_pad), 1)
+    onehot_row = (rid == iota_b).astype(cdt)
+    out_ref[...] += jax.lax.dot_general(
+        onehot_row, vals_ref[...].astype(cdt),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("b_pad", "interpret", "exact"))
+def row_reduce(rowid_sorted, vals, b_pad: int, interpret: bool = False,
+               exact: bool = False):
+    """[n, W] position values -> [b_pad, W] per-row sums (W % 8 == 0)."""
+    n = rowid_sorted.shape[0]
+    n_tiles = n // TILE
+    W = vals.shape[1]
+    cdt = jnp.float32 if exact else jnp.bfloat16
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((TILE, 1), lambda t: (t, 0)),
+            pl.BlockSpec((TILE, W), lambda t: (t, 0)),
+        ],
+        out_specs=pl.BlockSpec((b_pad, W), lambda t: (0, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_row_reduce_kernel, b_pad=b_pad, cdt=cdt),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b_pad, W), jnp.float32),
+        interpret=interpret,
+    )(rowid_sorted.reshape(n, 1), vals)
+
+
 def _bwd_kernel(rowid_ref, xv_ref, epos_ref, duals_ref, dwv_ref,
                 *, n_k: int, b_pad: int, cdt=jnp.bfloat16):
     rid = rowid_ref[...]                                    # [T, 1]

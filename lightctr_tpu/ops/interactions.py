@@ -85,3 +85,39 @@ def ffm_interaction(
     v_own = jnp.take_along_axis(g, fields[:, :, None, None], axis=2)[:, :, 0, :]  # [B,L,K]
     self_term = jnp.sum(jnp.sum(v_own * v_own, axis=-1) * xv * xv, axis=-1)
     return 0.5 * (total - self_term)
+
+
+def ffm_interaction_chunked(
+    v: jax.Array,
+    ids: jax.Array,
+    fields: jax.Array,
+    xv: jax.Array,
+    n_fields: int,
+    chunk: int = 8,
+) -> jax.Array:
+    """Memory-bounded FFM pairwise term: identical math to
+    `ffm_interaction`, but the [B, L, F, K] gather is never materialised —
+    a lax.scan walks destination-field chunks, gathering only
+    v[ids, f2_block] per step. Peak live memory O(B*L*chunk*K) for the
+    gather; use when B*L*F*K exceeds comfortable HBM (SURVEY.md §7
+    "FFM memory" flag).
+    """
+    b, L = ids.shape
+    K = v.shape[-1]
+    onehot = jax.nn.one_hot(fields, n_fields, dtype=v.dtype) * xv[..., None]  # [B,L,F1]
+    n_chunks = (n_fields + chunk - 1) // chunk
+    f_pad = n_chunks * chunk
+
+    def body(carry, c):
+        f2 = jnp.minimum(c * chunk + jnp.arange(chunk), n_fields - 1)  # [chunk]
+        gc = v[ids[..., None], f2[None, None, :]]                 # [B,L,chunk,K]
+        p_c = jnp.einsum("blf,blck->bfck", onehot, gc)            # [B,F1,chunk,K]
+        return carry, p_c
+
+    _, p_chunks = jax.lax.scan(body, 0, jnp.arange(n_chunks))
+    p = jnp.moveaxis(p_chunks, 0, 2)                 # [B, F1, n_chunks, chunk, K]
+    p = p.reshape(b, n_fields, f_pad, K)[:, :, :n_fields, :]
+    total = jnp.einsum("bfgk,bgfk->b", p, p)
+    v_own = v[ids, fields]                                        # [B, L, K]
+    self_term = jnp.sum(jnp.sum(v_own * v_own, axis=-1) * xv * xv, axis=-1)
+    return 0.5 * (total - self_term)

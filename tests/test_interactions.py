@@ -96,6 +96,26 @@ def test_ffm_interaction_vs_pair_loop(toy):
     np.testing.assert_allclose(got32, expect, rtol=5e-2, atol=5e-2)
 
 
+def test_ffm_chunked_matches_full(toy):
+    from lightctr_tpu.ops.interactions import ffm_interaction_chunked
+
+    ids, vals, fields, mask, v, vf, w, (B, L, NF, F, K) = toy
+    xv = vals * mask
+    full = np.asarray(
+        ffm_interaction(
+            jnp.asarray(vf), jnp.asarray(ids), jnp.asarray(fields), jnp.asarray(xv), F
+        )
+    )
+    for chunk in (2, 4, 7):
+        got = np.asarray(
+            ffm_interaction_chunked(
+                jnp.asarray(vf), jnp.asarray(ids), jnp.asarray(fields),
+                jnp.asarray(xv), F, chunk=chunk,
+            )
+        )
+        np.testing.assert_allclose(got, full, rtol=2e-4, atol=2e-4)
+
+
 def test_field_sum_embeddings_vs_loop(toy):
     ids, vals, fields, mask, v, vf, w, (B, L, NF, F, K) = toy
     xv = vals * mask
