@@ -61,6 +61,14 @@ def batch_specs(batch: dict):
 
 
 def partition_batch(batch: dict, mesh: Mesh):
+    n_data = mesh.shape["data"]
+    for k, v in batch.items():
+        if jnp.shape(v)[0] % n_data:
+            raise ValueError(
+                f"batch dim {jnp.shape(v)[0]} of '{k}' not divisible by the "
+                f"data axis ({n_data}); pick a batch size that is a multiple "
+                f"of the mesh's data dimension"
+            )
     return {
         k: jax.device_put(v, NamedSharding(mesh, P("data", *([None] * (jnp.ndim(v) - 1)))))
         for k, v in batch.items()
