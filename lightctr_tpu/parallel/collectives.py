@@ -46,6 +46,29 @@ def psum_compressed(tree: Any, axis: str, wire_dtype=jnp.bfloat16) -> Any:
     )
 
 
+def make_compressed_train_step(model, cfg, tx, mesh: Mesh, wire_dtype=jnp.bfloat16):
+    """Data-parallel train step whose gradient exchange runs at
+    `wire_dtype` precision (the reference's fp16 wire codec applied to
+    the Ring-AllReduce replacement). Params replicated; returns a jitted
+    (state, batch) -> (state, loss) like train.loop.make_train_step."""
+    from .. import optim
+    from ..train.loop import TrainState
+
+    def loss_fn(params, batch):
+        return model.loss(params, batch, cfg, None)
+
+    grad_fn = make_compressed_dp_grad_fn(loss_fn, mesh, wire_dtype)
+
+    @jax.jit
+    def step(state: TrainState, batch: dict):
+        loss, grads = grad_fn(state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optim.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.rng), loss
+
+    return step
+
+
 def make_compressed_dp_grad_fn(loss_fn, mesh: Mesh, wire_dtype=jnp.bfloat16):
     """Data-parallel value_and_grad with compressed gradient exchange.
 
