@@ -45,16 +45,24 @@ class Tree:
     left: np.ndarray       # [n_nodes] child index
     right: np.ndarray
     value: np.ndarray      # [n_nodes] leaf weight
+    nan_left: np.ndarray   # [n_nodes] route missing (last bin) left?
 
 
 def quantile_bins(x: np.ndarray, n_bins: int):
     """Per-feature quantile bin edges [F, n_bins-1]; returns (bin_ids uint8,
-    edges)."""
-    qs = np.linspace(0, 1, n_bins + 1)[1:-1]
-    edges = np.quantile(x, qs, axis=0).T.astype(np.float32)       # [F, n_bins-1]
+    edges). NaNs (missing values) get the reserved last bin `n_bins - 1`
+    and are routed by a learned default direction at each split (the
+    reference's two-sweep missing handling,
+    train_gbm_algo.cpp findSplitFeature_Wrapper:215-222)."""
+    nan_mask = np.isnan(x)
+    qs = np.linspace(0, 1, n_bins)[1:-1]  # reserve the top bin for NaN
+    with np.errstate(all="ignore"):
+        edges = np.nanquantile(x, qs, axis=0).T.astype(np.float32)  # [F, n_bins-2]
+    edges = np.nan_to_num(edges)
     bin_ids = np.empty(x.shape, np.uint8)
     for f in range(x.shape[1]):
         bin_ids[:, f] = np.searchsorted(edges[f], x[:, f], side="right")
+    bin_ids[nan_mask] = n_bins - 1
     return bin_ids, edges
 
 
@@ -81,26 +89,47 @@ def _l1_thresh(g, alpha):
 
 @jax.jit
 def _best_splits(hist, reg_lambda, reg_alpha, gamma, min_child_hess):
-    """hist [M, F, B, 2] -> best (gain, feature, bin) per node."""
-    g_cum = jnp.cumsum(hist[..., 0], axis=-1)      # [M,F,B] left sums
-    h_cum = jnp.cumsum(hist[..., 1], axis=-1)
-    g_tot = g_cum[..., -1:]
-    h_tot = h_cum[..., -1:]
+    """hist [M, F, B, 2] -> best (gain, feature, bin, nan_left) per node.
+
+    The last bin holds missing values; gains are evaluated twice per
+    threshold — missing routed left vs right (the reference's two
+    sweeps) — and the better direction is kept."""
+    g = hist[..., 0]
+    h = hist[..., 1]
+    g_nan = g[..., -1:]
+    h_nan = h[..., -1:]
+    g_cum = jnp.cumsum(g[..., :-1], axis=-1)       # [M,F,B-1] non-NaN sweep
+    h_cum = jnp.cumsum(h[..., :-1], axis=-1)
+    g_tot = g_cum[..., -1:] + g_nan
+    h_tot = h_cum[..., -1:] + h_nan
     gl, hl = g_cum[..., :-1], h_cum[..., :-1]       # candidate thresholds
-    gr, hr = g_tot - gl, h_tot - hl
 
     def score(g, h):
         t = _l1_thresh(g, reg_alpha)
         return t * t / (h + reg_lambda)
 
-    gain = 0.5 * (score(gl, hl) + score(gr, hr) - score(g_tot, h_tot)) - gamma
-    valid = (hl >= min_child_hess) & (hr >= min_child_hess)
-    gain = jnp.where(valid, gain, -jnp.inf)
+    parent = score(g_tot, h_tot)
+
+    def split_gain(gl_, hl_):
+        gr_, hr_ = g_tot - gl_, h_tot - hl_
+        gain = 0.5 * (score(gl_, hl_) + score(gr_, hr_) - parent) - gamma
+        valid = (hl_ >= min_child_hess) & (hr_ >= min_child_hess)
+        return jnp.where(valid, gain, -jnp.inf)
+
+    gain_right = split_gain(gl, hl)                 # missing -> right
+    gain_left = split_gain(gl + g_nan, hl + h_nan)  # missing -> left
+    nan_left = gain_left > gain_right
+    gain = jnp.maximum(gain_left, gain_right)
+
     flat = gain.reshape(gain.shape[0], -1)
     best = jnp.argmax(flat, axis=-1)
     best_gain = jnp.take_along_axis(flat, best[:, None], axis=-1)[:, 0]
+    best_nan_left = jnp.take_along_axis(
+        nan_left.reshape(nan_left.shape[0], -1), best[:, None], axis=-1
+    )[:, 0]
     n_thr = gain.shape[-1]
-    return best_gain, best // n_thr, best % n_thr, g_tot[..., 0, 0], h_tot[..., 0, 0]
+    return (best_gain, best // n_thr, best % n_thr, best_nan_left,
+            g_tot[..., 0, 0], h_tot[..., 0, 0])
 
 
 def _leaf_value(g, h, cfg: GBMConfig):
@@ -120,6 +149,7 @@ def _grow_tree(bin_ids_d, g_d, h_d, row_mask, cfg: GBMConfig, rng) -> Tree:
     left = [-1]
     right = [-1]
     value = [0.0]
+    nan_left = [False]
 
     # node assignment per row; -1 = out of tree (subsampled away)
     node_of_row = np.where(row_mask, 0, -1).astype(np.int32)
@@ -143,7 +173,7 @@ def _grow_tree(bin_ids_d, g_d, h_d, row_mask, cfg: GBMConfig, rng) -> Tree:
             )
         )[:M]
         hist[:, ~feat_mask, :, :] = 0.0
-        gains, feats, bins, g_tots, h_tots = (
+        gains, feats, bins, nan_lefts, g_tots, h_tots = (
             np.asarray(t)
             for t in _best_splits(
                 jnp.asarray(hist),
@@ -156,23 +186,32 @@ def _grow_tree(bin_ids_d, g_d, h_d, row_mask, cfg: GBMConfig, rng) -> Tree:
 
         next_active = []
         bin_np = np.asarray(bin_ids_d)
+        nan_bin = cfg.n_bins - 1
         for i, nid in enumerate(active):
             if not np.isfinite(gains[i]) or gains[i] <= 0:
                 value[nid] = _leaf_value(g_tots[i], h_tots[i], cfg)
                 continue
             f, b = int(feats[i]), int(bins[i])
+            nl = bool(nan_lefts[i])
             lid, rid = len(feature), len(feature) + 1
             feature.extend([-1, -1])
             threshold.extend([0, 0])
             left.extend([-1, -1])
             right.extend([-1, -1])
             value.extend([0.0, 0.0])
+            nan_left.extend([False, False])
             feature[nid] = f
             threshold[nid] = b
             left[nid] = lid
             right[nid] = rid
+            nan_left[nid] = nl
             rows = node_of_row == nid
-            goes_left = rows & (bin_np[:, f] <= b)
+            fbins = bin_np[:, f]
+            # threshold candidates never include the NaN bin, so routing
+            # missing left is exactly the extra (fbins == nan_bin) clause
+            goes_left = rows & (
+                (fbins <= b) | (nl & (fbins == nan_bin))
+            )
             node_of_row[goes_left] = lid
             node_of_row[rows & ~goes_left] = rid
             if depth + 1 < cfg.max_depth:
@@ -190,10 +229,11 @@ def _grow_tree(bin_ids_d, g_d, h_d, row_mask, cfg: GBMConfig, rng) -> Tree:
         left=np.asarray(left, np.int32),
         right=np.asarray(right, np.int32),
         value=np.asarray(value, np.float32),
+        nan_left=np.asarray(nan_left, bool),
     )
 
 
-def _predict_tree_binned(tree: Tree, bin_ids: np.ndarray) -> np.ndarray:
+def _predict_tree_binned(tree: Tree, bin_ids: np.ndarray, nan_bin: int) -> np.ndarray:
     """Vectorised traversal over pre-binned rows."""
     node = np.zeros(bin_ids.shape[0], np.int32)
     for _ in range(64):  # > max depth
@@ -201,7 +241,10 @@ def _predict_tree_binned(tree: Tree, bin_ids: np.ndarray) -> np.ndarray:
         if is_leaf.all():
             break
         f = np.maximum(tree.feature[node], 0)
-        go_left = bin_ids[np.arange(len(node)), f] <= tree.threshold[node]
+        fbins = bin_ids[np.arange(len(node)), f]
+        go_left = (fbins <= tree.threshold[node]) | (
+            tree.nan_left[node] & (fbins == nan_bin)
+        )
         nxt = np.where(go_left, tree.left[node], tree.right[node])
         node = np.where(is_leaf, node, nxt)
     return tree.value[node]
@@ -252,7 +295,7 @@ class GBM:
                 tree = _grow_tree(
                     bin_ids_d, jnp.asarray(g), jnp.asarray(h), row_mask, cfg, rng
                 )
-                margin[:, k] += cfg.learning_rate * _predict_tree_binned(tree, bin_ids)
+                margin[:, k] += cfg.learning_rate * _predict_tree_binned(tree, bin_ids, cfg.n_bins - 1)
                 round_trees.append(tree)
             self.trees.append(round_trees)
             if log:
@@ -277,7 +320,7 @@ class GBM:
         margin = np.zeros((x.shape[0], K), np.float32)
         for round_trees in self.trees:
             for k, tree in enumerate(round_trees):
-                margin[:, k] += self.cfg.learning_rate * _predict_tree_binned(tree, bin_ids)
+                margin[:, k] += self.cfg.learning_rate * _predict_tree_binned(tree, bin_ids, self.cfg.n_bins - 1)
         return margin
 
     def predict_proba(self, x: np.ndarray) -> np.ndarray:

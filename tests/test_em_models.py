@@ -130,6 +130,37 @@ def test_gbm_binary():
     assert ((p > 0.5) == y).mean() > 0.9
 
 
+def test_gbm_missing_values_two_sweep():
+    """NaN features route through a learned default direction (the
+    reference's two-sweep missing handling)."""
+    rng = np.random.default_rng(5)
+    n = 600
+    x = rng.normal(size=(n, 6)).astype(np.float32)
+    y = (x[:, 0] > 0).astype(np.float32)
+    # knock out 30% of the informative feature; missing implies class 1
+    miss = rng.random(n) < 0.3
+    y[miss] = 1.0
+    x[miss, 0] = np.nan
+    cfg = GBMConfig(n_rounds=15, max_depth=4, subsample=1.0, colsample=1.0,
+                    n_classes=2, seed=0)
+    model = GBM(cfg).fit(x, y)
+    p = model.predict_proba(x)[:, 1]
+    acc = ((p > 0.5) == y).mean()
+    assert acc > 0.9
+    # the missing rows specifically must be classified (needs the learned
+    # direction; random routing would cap around their base rate)
+    assert ((p[miss] > 0.5) == y[miss]).mean() > 0.9
+    # routing matters: NaN on the informative feature implies class 1
+    # (must score like x0=+3, far from x0=-3)
+    probe = np.zeros((3, 6), np.float32)
+    probe[0, 0] = np.nan
+    probe[1, 0] = 3.0
+    probe[2, 0] = -3.0
+    pp = model.predict_proba(probe)[:, 1]
+    assert abs(pp[0] - pp[1]) < 0.1      # NaN grouped with the class-1 side
+    assert abs(pp[0] - pp[2]) > 0.5      # far from the class-0 side
+
+
 def test_gbm_multiclass():
     rng = np.random.default_rng(1)
     n = 450
