@@ -201,6 +201,129 @@ def make_train_step(cfg: KernelFMConfig, plan: BatchPlan):
     return step
 
 
+class StreamingFMState(NamedTuple):
+    """Master tables in VOCAB space (ranks are per-batch labels only)."""
+
+    w0: jax.Array
+    w0_accum: jax.Array
+    table: jax.Array   # [V, 16] packed [w | v | pad]
+    accum: jax.Array   # [V, 16] adagrad accumulator
+
+
+def streaming_init(rng: jax.Array, cfg: KernelFMConfig) -> StreamingFMState:
+    table = jnp.zeros((cfg.n_features, K.D))
+    table = table.at[:, 1 : 1 + cfg.factor].set(
+        jax.random.normal(rng, (cfg.n_features, cfg.factor)) * cfg.init_std
+    )
+    return StreamingFMState(
+        w0=jnp.zeros(()),
+        w0_accum=jnp.zeros(()),
+        table=table,
+        accum=jnp.zeros((cfg.n_features, K.D)),
+    )
+
+
+def make_streaming_train_step(cfg: KernelFMConfig, capacity: int, b_pad: int):
+    """Minibatch-streaming kernel step: ONE compiled program serves every
+    batch. Master tables live in vocab space; each batch's plan (computed
+    host-side, e.g. on the data/pipeline.Prefetcher thread — mirroring the
+    reference worker's per-batch pull-key set,
+    distributed_algo_abst.h:181-190) supplies the unique-id list and the
+    sorted layout as runtime arrays:
+
+      gather uids rows ("pull") -> fused kernels in batch-rank space ->
+      row-sparse Adagrad scatter ("push" + server-side update).
+
+    capacity: static unique-rank space size (multiple of 2*TILE, >= max
+    unique ids per batch + TILE).
+    """
+    n_k = cfg.factor
+    R = capacity
+    interp = cfg.interpret
+
+    @jax.jit
+    def step(state: StreamingFMState, b: dict, hyper=None):
+        lr = cfg.learning_rate if hyper is None else hyper[0]
+        l2 = cfg.l2 if hyper is None else hyper[1]
+
+        uids = b["uids"]                        # [R] int32, padded with 0
+        n_unique = b["n_unique"]                # scalar int32
+        rows = state.table[uids]                # "pull" unique rows
+        rows = rows.at[R - 1].set(0.0)          # pad rank row reads zero
+
+        rowsum, e_pos = K.fm_forward(
+            rows, b["ranks_sorted"], b["rowid_sorted"], b["xv_sorted"],
+            b["tile_base"], n_k=n_k, b_pad=b_pad, interpret=interp,
+            exact=cfg.exact,
+        )
+        wx = rowsum[:, 0]
+        s = rowsum[:, 1 : 1 + n_k]
+        ss = rowsum[:, 1 + n_k : 1 + 2 * n_k]
+        logits = state.w0 + wx + 0.5 * jnp.sum(s * s - ss, axis=-1)
+        z = logits
+        labels_p = b["labels_padded"]
+        rmask_p = b["row_mask_padded"]
+        n_valid = jnp.maximum(jnp.sum(rmask_p), 1.0)
+        per = jnp.maximum(z, 0) - z * labels_p + jnp.log1p(jnp.exp(-jnp.abs(z)))
+        loss = jnp.sum(per * rmask_p) / n_valid
+        dlogit = (jax.nn.sigmoid(z) - labels_p) * rmask_p / n_valid
+
+        duals = jnp.zeros((b_pad, K.S))
+        duals = duals.at[:, 0].set(dlogit)
+        duals = duals.at[:, 1 : 1 + n_k].set(dlogit[:, None] * s)
+        duals = duals.at[:, 1 + n_k : 1 + 2 * n_k].set(
+            jnp.broadcast_to(dlogit[:, None], (b_pad, n_k))
+        )
+        dwv_pos = K.fm_backward_positions(
+            b["rowid_sorted"], b["xv_sorted"], e_pos, duals,
+            n_k=n_k, b_pad=b_pad, interpret=interp, exact=cfg.exact,
+        )
+        grad_rows = blocked_scatter_add(
+            dwv_pos, b["ranks_sorted"], b["tile_base"],
+            n_rows=R, interpret=interp, exact=cfg.exact,
+        )
+        grad_rows = grad_rows + l2 * rows
+
+        # row-sparse adagrad "push": padding rows redirected out of bounds
+        pos = jnp.arange(R)
+        m = (pos < n_unique).astype(jnp.float32)[:, None]
+        safe_uids = jnp.where(pos < n_unique, uids, state.table.shape[0])
+        g = grad_rows * m
+        acc_rows = state.accum[uids] + g * g
+        upd = lr * g / (jnp.sqrt(acc_rows) + 1e-7)
+        accum = state.accum.at[safe_uids].set(acc_rows, mode="drop")
+        table = state.table.at[safe_uids].add(-upd, mode="drop")
+
+        g0 = jnp.sum(dlogit)
+        w0_accum = state.w0_accum + g0 * g0
+        w0 = state.w0 - lr * g0 / (jnp.sqrt(w0_accum) + 1e-7)
+        return StreamingFMState(w0, w0_accum, table, accum), loss
+
+    return step
+
+
+def plan_to_arrays(plan: BatchPlan, capacity: int) -> dict:
+    """Per-batch runtime arrays for make_streaming_train_step. The plan
+    must be built with n_rows_pad=capacity so shapes are stable."""
+    assert plan.n_rows_pad == capacity, (
+        f"plan built with R={plan.n_rows_pad}, step expects {capacity}"
+    )
+    b_pad = plan.b_pad
+    B = plan.labels.shape[0]
+    labels_p = jnp.zeros((b_pad,)).at[:B].set(plan.labels)
+    rmask_p = jnp.zeros((b_pad,)).at[:B].set(plan.row_mask)
+    return {
+        "uids": jnp.asarray(plan.uids[:capacity]),
+        "n_unique": jnp.int32(plan.n_unique),
+        "ranks_sorted": plan.ranks_sorted,
+        "rowid_sorted": plan.rowid_sorted,
+        "xv_sorted": plan.xv_sorted,
+        "tile_base": plan.tile_base,
+        "labels_padded": labels_p,
+        "row_mask_padded": rmask_p,
+    }
+
+
 def export_tables(state: KernelFMState, plan: BatchPlan, cfg: KernelFMConfig):
     """Materialise (w [V], v [V, K]) in full vocabulary space."""
     w_full = np.zeros((cfg.n_features,), np.float32)
