@@ -51,3 +51,37 @@ def loss(params: dict, batch: dict, cfg: FMConfig, rng=None) -> jax.Array:
     if cfg.l2:
         l = l + cfg.l2 * (jnp.sum(params["w"] ** 2) + jnp.sum(params["v"] ** 2))
     return l
+
+
+def save_text_model(path: str, params: dict, threshold: float = 1e-7) -> int:
+    """Text model dump in the reference's format (fm_algo_abst.h:109-135):
+    one `fid w v0 v1 ...` line per feature with a non-negligible weight.
+    Returns the number of features written."""
+    import numpy as np
+
+    w = np.asarray(params["w"])
+    v = np.asarray(params["v"])
+    keep = (np.abs(w) > threshold) | (np.abs(v).max(axis=1) > threshold)
+    ids = np.nonzero(keep)[0]
+    with open(path, "w") as f:
+        f.write(f"{float(np.asarray(params['w0'])):.6f}\n")
+        for i in ids:
+            vec = " ".join(f"{x:.6f}" for x in v[i])
+            f.write(f"{i} {w[i]:.6f} {vec}\n")
+    return len(ids)
+
+
+def load_text_model(path: str, cfg: FMConfig) -> dict:
+    """Inverse of save_text_model."""
+    import numpy as np
+
+    w = np.zeros((cfg.n_features,), np.float32)
+    v = np.zeros((cfg.n_features, cfg.factor), np.float32)
+    with open(path) as f:
+        w0 = float(f.readline())
+        for line in f:
+            parts = line.split()
+            i = int(parts[0])
+            w[i] = float(parts[1])
+            v[i] = np.asarray(parts[2:], np.float32)
+    return {"w0": jnp.asarray(w0), "w": jnp.asarray(w), "v": jnp.asarray(v)}

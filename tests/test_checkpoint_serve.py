@@ -83,3 +83,25 @@ def test_batch_score_dump(tmp_path, sparse_small):
     lines = open(dump).read().splitlines()
     assert len(lines) == len(sparse_small)
     assert all(0.0 <= float(x) <= 1.0 for x in lines[:10])
+
+
+def test_fm_text_model_roundtrip(tmp_path, sparse_small):
+    import jax
+
+    from lightctr_tpu.models.fm import load_text_model, save_text_model
+
+    cfg = fm.FMConfig(n_features=sparse_small.n_features, factor=4)
+    tx = optim.adagrad(0.2)
+    state = train_model(fm, cfg, sparse_small, tx, epochs=3, batch_size=128, log=None)
+    path = str(tmp_path / "fm_model.txt")
+    n = save_text_model(path, state.params)
+    assert 0 < n <= sparse_small.n_features
+    restored = load_text_model(path, cfg)
+    import numpy as np
+
+    np.testing.assert_allclose(
+        np.asarray(restored["w"]), np.asarray(state.params["w"]), atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(restored["v"]), np.asarray(state.params["v"]), atol=2e-6
+    )
