@@ -34,6 +34,14 @@ class KernelFMConfig:
     learning_rate: float = 0.05
     init_std: float = 0.01
     l2: float = 0.0
+    # wide (w column) optimizer: "adagrad" or "ftrl" (FTRL-proximal with
+    # the reference's constants, gradientUpdater.h:240-243 — the classic
+    # sparse-LR wide part, now inside the fused kernel step)
+    wide_optimizer: str = "adagrad"
+    ftrl_alpha: float = 0.15
+    ftrl_beta: float = 1.0
+    ftrl_lambda1: float = 1.0
+    ftrl_lambda2: float = 1.0
     interpret: bool = False
     # exact=True runs the one-hot matmuls in fp32 (slower, fp32-faithful);
     # False uses bf16 (fastest; quality fine for few-epoch production
@@ -52,6 +60,8 @@ class KernelFMState(NamedTuple):
     w0_accum: jax.Array
     rows: jax.Array    # [R, 16] packed [w | v | pad] in unique-rank space
     accum: jax.Array   # [R, 16] adagrad accumulator
+    ftrl_z: jax.Array  # [R, 1] FTRL z state (wide column; zeros if unused)
+    ftrl_n: jax.Array  # [R, 1] FTRL n state
 
 
 @dataclasses.dataclass
@@ -114,6 +124,8 @@ def init(rng: jax.Array, cfg: KernelFMConfig, plan: BatchPlan) -> KernelFMState:
         w0_accum=jnp.zeros(()),
         rows=rows,
         accum=jnp.zeros((R, K.D)),
+        ftrl_z=jnp.zeros((R, 1)),
+        ftrl_n=jnp.zeros((R, 1)),
     )
 
 
@@ -191,12 +203,33 @@ def make_train_step(cfg: KernelFMConfig, plan: BatchPlan):
 
         accum = state.accum + grad_rows * grad_rows
         rows = state.rows - lr * grad_rows / (jnp.sqrt(accum) + 1e-7)
+
+        if cfg.wide_optimizer == "ftrl":
+            # FTRL-proximal on the wide column (reference FTRLUpdater
+            # semantics, gradientUpdater.h:235-278)
+            g_w = grad_rows[:, 0:1]
+            w_old = state.rows[:, 0:1]
+            n_new = state.ftrl_n + g_w * g_w
+            sigma = (jnp.sqrt(n_new) - jnp.sqrt(state.ftrl_n)) / cfg.ftrl_alpha
+            z_new = state.ftrl_z + g_w - sigma * w_old
+            w_new = jnp.where(
+                jnp.abs(z_new) <= cfg.ftrl_lambda1,
+                0.0,
+                -(z_new - jnp.sign(z_new) * cfg.ftrl_lambda1)
+                / ((cfg.ftrl_beta + jnp.sqrt(n_new)) / cfg.ftrl_alpha
+                   + cfg.ftrl_lambda2),
+            )
+            rows = rows.at[:, 0:1].set(w_new)
+            ftrl_z, ftrl_n = z_new, n_new
+        else:
+            ftrl_z, ftrl_n = state.ftrl_z, state.ftrl_n
+
         rows = rows.at[R - 1].set(0.0)  # keep the padding rank row zero
 
         g0 = jnp.sum(dlogit)
         w0_accum = state.w0_accum + g0 * g0
         w0 = state.w0 - lr * g0 / (jnp.sqrt(w0_accum) + 1e-7)
-        return KernelFMState(w0, w0_accum, rows, accum), loss
+        return KernelFMState(w0, w0_accum, rows, accum, ftrl_z, ftrl_n), loss
 
     return step
 

@@ -93,3 +93,39 @@ def test_kernel_fm_export_roundtrip():
     probs = np.asarray(jax.nn.sigmoid(logits))
     pred = (probs > 0.5).astype(np.float32)
     assert (pred == labels).mean() >= 0.75  # separable tiny batch: fits it
+
+
+def test_kernel_fm_ftrl_wide_sparsifies():
+    """FTRL wide column: strong lambda1 zeroes most w while v still learns."""
+    ids, vals, mask, labels = _toy_batch(seed=7)
+    V = 300
+    cfg = fm_kernel.KernelFMConfig(
+        n_features=V, factor=4, learning_rate=0.1, interpret=True, exact=True,
+        wide_optimizer="ftrl", ftrl_alpha=0.1, ftrl_lambda1=5.0,
+    )
+    plan = fm_kernel.plan_batch(ids, vals, mask, labels)
+    st = fm_kernel.init(jax.random.PRNGKey(0), cfg, plan)
+    step = fm_kernel.make_train_step(cfg, plan)
+    losses = []
+    for _ in range(10):
+        st, l = step(st)
+        losses.append(float(l))
+    assert losses[-1] < losses[0]
+    w = np.asarray(st.rows[: plan.n_unique, 0])
+    v = np.asarray(st.rows[: plan.n_unique, 1:5])
+    # L1 proximal zeroes a large fraction of the wide weights exactly
+    assert (w == 0.0).mean() > 0.5
+    # while factors keep training
+    assert np.abs(v).max() > 0.01
+
+    # and with lambda1=0 the wide part is dense
+    cfg2 = fm_kernel.KernelFMConfig(
+        n_features=V, factor=4, learning_rate=0.1, interpret=True, exact=True,
+        wide_optimizer="ftrl", ftrl_alpha=0.1, ftrl_lambda1=0.0,
+    )
+    st2 = fm_kernel.init(jax.random.PRNGKey(0), cfg2, plan)
+    step2 = fm_kernel.make_train_step(cfg2, plan)
+    for _ in range(10):
+        st2, _ = step2(st2)
+    w2 = np.asarray(st2.rows[: plan.n_unique, 0])
+    assert (w2 == 0.0).mean() < 0.1
