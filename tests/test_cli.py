@@ -1,0 +1,65 @@
+"""CLI smoke tests — run main() in-process on tiny data (CPU)."""
+
+import numpy as np
+import pytest
+
+from lightctr_tpu.cli import main
+
+
+@pytest.fixture(scope="module")
+def tiny_libffm(tmp_path_factory):
+    p = tmp_path_factory.mktemp("cli") / "train.csv"
+    rng = np.random.default_rng(0)
+    lines = []
+    for _ in range(200):
+        feats = rng.choice(50, size=8, replace=False)
+        label = int((feats < 10).sum() >= 2)
+        toks = " ".join(f"{f % 5}:{f}:1" for f in feats)
+        lines.append(f"{label} {toks}")
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_cli_train_and_score(tiny_libffm, tmp_path, capsys):
+    ckpt = str(tmp_path / "m")
+    main([
+        "train", "--model", "fm", "--factor", "4", "--train", tiny_libffm,
+        "--epochs", "6", "--optimizer", "adagrad", "--lr", "0.2",
+        "--batch-size", "64", "--ckpt", ckpt,
+    ])
+    out = capsys.readouterr().out
+    assert "train:" in out and "auc" in out
+    assert "saved checkpoint" in out
+
+    main([
+        "score", "--model", "fm", "--factor", "4", "--test", tiny_libffm,
+        "--ckpt", ckpt, "--n-features", "50", "--n-fields", "5",
+        "--dump", str(tmp_path / "preds.txt"),
+    ])
+    out = capsys.readouterr().out
+    assert "auc" in out
+    assert len(open(tmp_path / "preds.txt").readlines()) == 200
+
+
+def test_cli_train_mesh(tiny_libffm, capsys):
+    main([
+        "train", "--model", "widedeep", "--train", tiny_libffm,
+        "--epochs", "2", "--optimizer", "adam", "--lr", "0.01",
+        "--batch-size", "40", "--mesh", "4x2", "--cpu-devices", "8",
+    ])
+    out = capsys.readouterr().out
+    assert "epoch 1" in out and "train:" in out
+
+
+def test_cli_gbm_dense(tmp_path, capsys):
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(120, 10))
+    y = (x[:, 0] > 0).astype(int)
+    p = tmp_path / "dense.csv"
+    with open(p, "w") as f:
+        for yy, row in zip(y, x):
+            f.write(str(yy) + "," + ",".join(f"{v:.4f}" for v in row) + "\n")
+    main(["gbm", "--train", str(p), "--rounds", "5", "--max-depth", "3",
+          "--n-classes", "2"])
+    out = capsys.readouterr().out
+    assert "final train accuracy" in out
