@@ -18,7 +18,28 @@ import numpy as np
 def main():
     import jax
 
-    if not any(d.platform == "tpu" for d in []):  # force CPU mesh for the virtual run
+    # Decide BEFORE touching any backend (jax_platforms/jax_num_cpu_devices
+    # cannot be changed after initialization). A TPU runtime is detectable
+    # without initializing JAX: an explicit JAX_PLATFORMS=tpu, a libtpu
+    # install (real TPU VM/pod), or a registered PJRT TPU plugin.
+    import importlib.util
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS", "").lower()
+    if "cpu" in plat:
+        on_accel = False          # explicit CPU request -> virtual mesh
+    elif plat:
+        on_accel = True           # explicit accelerator platform (tpu/plugin)
+    else:
+        # platform unset: a libtpu install means a real TPU VM/pod
+        on_accel = (
+            importlib.util.find_spec("libtpu") is not None
+            or importlib.util.find_spec("libtpu_release") is not None
+        )
+    if not on_accel:
+        # No TPUs visible: 8-way virtual CPU mesh so the logical scaling
+        # path still runs. On a real pod slice the real devices are used.
+        os.environ["JAX_PLATFORMS"] = "cpu"   # env var wins over config
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)
 

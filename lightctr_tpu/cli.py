@@ -100,7 +100,8 @@ def main(argv=None):
     s = sub.add_parser("score", parents=[common])
     s.add_argument("--test", required=True)
     s.add_argument("--ckpt", required=True)
-    s.add_argument("--n-features", type=int, required=True)
+    s.add_argument("--n-features", type=int, default=None,
+                   help="param-shape vocab; defaults to checkpoint metadata")
     s.add_argument("--n-fields", type=int, default=0)
     s.add_argument("--dump", default=None)
 
@@ -204,9 +205,13 @@ def main(argv=None):
         if args.ckpt:
             from .train.checkpoint import save_checkpoint
 
+            # n_features records the PARAM-shape vocabulary (rounded up
+            # under --mesh) so `score` can rebuild matching shapes;
+            # n_features_data keeps the raw dataset vocab.
             save_checkpoint(args.ckpt, state.params, {
                 "model": args.model,
-                "n_features": train_ds.n_features,
+                "n_features": cfg.n_features,
+                "n_features_data": train_ds.n_features,
                 "n_fields": train_ds.n_fields,
             })
             print(f"saved checkpoint to {args.ckpt}.npz")
@@ -215,12 +220,23 @@ def main(argv=None):
         import jax
 
         from .serve.scorer import batch_score
-        from .train.checkpoint import load_checkpoint
+        from .train.checkpoint import checkpoint_metadata, load_checkpoint
 
-        model, cfg = _build_model(args, args.n_features, args.n_fields)
+        n_features, n_fields = args.n_features, args.n_fields
+        if n_features is None or not n_fields:
+            try:
+                meta = checkpoint_metadata(args.ckpt)
+            except FileNotFoundError:
+                meta = {}
+            if n_features is None:
+                n_features = meta.get("n_features")
+            n_fields = n_fields or meta.get("n_fields", 0)
+        if n_features is None:
+            raise SystemExit("--n-features required (no checkpoint metadata found)")
+        model, cfg = _build_model(args, n_features, n_fields)
         template = model.init(jax.random.PRNGKey(0), cfg)
         params = load_checkpoint(args.ckpt, template)
-        test_ds = load_libffm(args.test, n_features=args.n_features, n_fields=max(args.n_fields, 1))
+        test_ds = load_libffm(args.test, n_features=n_features, n_fields=max(n_fields, 1))
         metrics = batch_score(model, cfg, params, test_ds,
                               batch_size=args.batch_size, dump_path=args.dump)
         print(json.dumps(metrics))

@@ -53,35 +53,42 @@ def loss(params: dict, batch: dict, cfg: FMConfig, rng=None) -> jax.Array:
     return l
 
 
-def save_text_model(path: str, params: dict, threshold: float = 1e-7) -> int:
-    """Text model dump in the reference's format (fm_algo_abst.h:109-135):
-    one `fid w v0 v1 ...` line per feature with a non-negligible weight.
-    Returns the number of features written."""
+def save_text_model(path: str, params: dict) -> int:
+    """Text model dump in the reference's EXACT saveModel format
+    (fm_algo_abst.h:109-135): first line is space-separated `fid:W` pairs
+    for every nonzero W, then one `fid:v0 v1 ... ` line per feature (all
+    features). The reference FM has no global bias, so w0 is NOT written —
+    callers holding a nonzero w0 should fold it elsewhere or use
+    train/checkpoint.py for lossless round-trips. Returns the number of
+    nonzero W entries written."""
     import numpy as np
 
     w = np.asarray(params["w"])
     v = np.asarray(params["v"])
-    keep = (np.abs(w) > threshold) | (np.abs(v).max(axis=1) > threshold)
-    ids = np.nonzero(keep)[0]
+    nz = np.nonzero(w != 0)[0]
     with open(path, "w") as f:
-        f.write(f"{float(np.asarray(params['w0'])):.6f}\n")
-        for i in ids:
-            vec = " ".join(f"{x:.6f}" for x in v[i])
-            f.write(f"{i} {w[i]:.6f} {vec}\n")
-    return len(ids)
+        f.write(" ".join(f"{i}:{w[i]:.9g}" for i in nz))
+        f.write(" \n" if len(nz) else "\n")
+        for i in range(v.shape[0]):
+            f.write(f"{i}:" + " ".join(f"{x:.9g}" for x in v[i]) + " \n")
+    return len(nz)
 
 
 def load_text_model(path: str, cfg: FMConfig) -> dict:
-    """Inverse of save_text_model."""
+    """Parse the reference saveModel format (fm_algo_abst.h:109-135) —
+    interoperable with dumps produced by the reference binaries."""
     import numpy as np
 
     w = np.zeros((cfg.n_features,), np.float32)
     v = np.zeros((cfg.n_features, cfg.factor), np.float32)
     with open(path) as f:
-        w0 = float(f.readline())
+        for pair in f.readline().split():
+            fid, val = pair.split(":")
+            w[int(fid)] = float(val)
         for line in f:
-            parts = line.split()
-            i = int(parts[0])
-            w[i] = float(parts[1])
-            v[i] = np.asarray(parts[2:], np.float32)
-    return {"w0": jnp.asarray(w0), "w": jnp.asarray(w), "v": jnp.asarray(v)}
+            line = line.strip()
+            if not line:
+                continue
+            fid, vec = line.split(":", 1)
+            v[int(fid)] = np.asarray(vec.split(), np.float32)[: cfg.factor]
+    return {"w0": jnp.zeros(()), "w": jnp.asarray(w), "v": jnp.asarray(v)}

@@ -309,9 +309,15 @@ class GBM:
         return self
 
     def _bin(self, x: np.ndarray) -> np.ndarray:
+        # Mirrors quantile_bins: NaN lands in the reserved last bin so the
+        # learned nan_left default directions apply at inference too.
+        nan_mask = np.isnan(x)
         bin_ids = np.empty(x.shape, np.uint8)
         for f in range(x.shape[1]):
-            bin_ids[:, f] = np.searchsorted(self.edges[f], x[:, f], side="right")
+            bin_ids[:, f] = np.searchsorted(
+                self.edges[f], np.nan_to_num(x[:, f]), side="right"
+            )
+        bin_ids[nan_mask] = self.cfg.n_bins - 1
         return bin_ids
 
     def predict_margin(self, x: np.ndarray) -> np.ndarray:

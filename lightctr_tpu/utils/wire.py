@@ -49,6 +49,8 @@ def delta_varuint_encode(sorted_ids: np.ndarray) -> bytes:
     """Delta + VarUint for sorted id lists (the PS key-stream trick:
     ascending keys compress to ~1 byte each)."""
     ids = np.asarray(sorted_ids, np.uint64)
+    if ids.size == 0:
+        return b""
     deltas = np.empty_like(ids)
     deltas[0] = ids[0]
     np.subtract(ids[1:], ids[:-1], out=deltas[1:])
@@ -56,6 +58,8 @@ def delta_varuint_encode(sorted_ids: np.ndarray) -> bytes:
 
 
 def delta_varuint_decode(data: bytes, count: int) -> np.ndarray:
+    if count == 0:
+        return np.empty((0,), np.uint64)
     return np.cumsum(varuint_decode(data, count)).astype(np.uint64)
 
 

@@ -161,6 +161,32 @@ def test_gbm_missing_values_two_sweep():
     assert abs(pp[0] - pp[2]) > 0.5      # far from the class-0 side
 
 
+def test_gbm_missing_routes_left_at_predict():
+    """Regression (ADVICE r1): predict-time binning must send NaN to the
+    reserved NaN bin so a learned missing->LEFT direction applies at
+    inference, not only during training."""
+    rng = np.random.default_rng(7)
+    n = 600
+    x = rng.normal(size=(n, 6)).astype(np.float32)
+    y = (x[:, 0] > 0).astype(np.float32)
+    # missing implies class 0 — the LEFT (negative-x0) side of the split
+    miss = rng.random(n) < 0.3
+    y[miss] = 0.0
+    x[miss, 0] = np.nan
+    cfg = GBMConfig(n_rounds=15, max_depth=4, subsample=1.0, colsample=1.0,
+                    n_classes=2, seed=0)
+    model = GBM(cfg).fit(x, y)
+    p = model.predict_proba(x)[:, 1]
+    assert ((p[miss] > 0.5) == y[miss]).mean() > 0.9
+    probe = np.zeros((3, 6), np.float32)
+    probe[0, 0] = np.nan
+    probe[1, 0] = -3.0
+    probe[2, 0] = 3.0
+    pp = model.predict_proba(probe)[:, 1]
+    assert abs(pp[0] - pp[1]) < 0.1      # NaN grouped with the class-0 side
+    assert abs(pp[0] - pp[2]) > 0.5
+
+
 def test_gbm_multiclass():
     rng = np.random.default_rng(1)
     n = 450

@@ -59,6 +59,16 @@ def test_fp16_and_sparse_update_roundtrip():
     np.testing.assert_allclose(rw, w[np.argsort(ids)], rtol=1e-3)
 
 
+def test_sparse_update_empty_payload():
+    """Regression (ADVICE r1): a PS-style exchange can legitimately carry
+    zero touched keys; the codec must round-trip the empty payload."""
+    blob = encode_sparse_update(np.empty((0,), np.uint64), np.empty((0,), np.float32))
+    rid, rw = decode_sparse_update(blob)
+    assert rid.size == 0 and rw.size == 0
+    assert delta_varuint_encode(np.empty((0,), np.uint64)) == b""
+    assert delta_varuint_decode(b"", 0).size == 0
+
+
 def test_murmur_hash():
     keys = np.arange(1000, dtype=np.uint64)
     h = murmur64(keys)
