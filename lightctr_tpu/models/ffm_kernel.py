@@ -1,0 +1,215 @@
+"""FFM trainer on the dense one-hot Pallas kernels (ops/ffm_pallas.py).
+
+Capability lineage: the reference's FFM trainer
+(/root/reference/LightCTR/train/train_ffm_algo.cpp:51-116) — full-batch
+field-aware FM with the pairwise weight
+``dot(V[f1,field2], V[f2,field1]) * x1 * x2`` and symmetric Adagrad
+updates. TPU-native redesign:
+
+  table [R, Dw]    rank-space rows packing [w | V(F*K) | pad] — only ids
+                   touched by the batch are materialised (the "pull set"
+                   of the reference's PS design), Dw lane-aligned.
+  gather           ops/ffm_pallas.rank_lookup: one-hot MXU sweep, positions
+                   stay in natural [B, L] order (no sort, host or device).
+  pairwise math    exact field-aggregation rewrite as XLA einsums over
+                   [B, L, F, K] (the same math ops/interactions.ffm_interaction
+                   is tested against) — autodiff supplies the backward, and
+                   the custom-vjp lookup turns de into a Pallas scatter-add.
+  update           dense Adagrad on [R, Dw] (server-side-update analogue).
+
+Trains in the reference's regime (full-batch per epoch,
+train_fm_algo.cpp:38) with one compiled step reused every epoch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.ffm_pallas import RBLK, TILE, rank_lookup
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelFFMConfig:
+    n_features: int
+    n_fields: int
+    factor: int = 4
+    learning_rate: float = 0.05
+    init_std: float = 0.01
+    l2: float = 0.0
+    interpret: bool = False
+    # exact=True runs the one-hot matmuls in fp32 (fp32-faithful; the
+    # test/verification mode); False uses bf16 compute (fastest).
+    exact: bool = True
+
+    @property
+    def row_width(self) -> int:
+        """Packed row: [w | V(n_fields*factor) | pad to lane multiple]."""
+        return _round_up(1 + self.n_fields * self.factor, 128)
+
+
+class KernelFFMState(NamedTuple):
+    w0: jax.Array
+    w0_accum: jax.Array
+    table: jax.Array   # [R, Dw] packed [w | V(F*K) | pad] in rank space
+    accum: jax.Array   # [R, Dw] adagrad accumulator
+
+
+@dataclasses.dataclass
+class FFMBatchPlan:
+    """Batch tensors in natural [B, L] order + the rank mapping."""
+
+    ranks: jax.Array       # [n_pad] int32, row-major; padding -> R-1
+    xv: jax.Array          # [B, L] vals*mask
+    fields: jax.Array      # [B, L] int32
+    labels: jax.Array      # [B]
+    row_mask: jax.Array    # [B]
+    uids: np.ndarray       # [R] int64, uids[rank] = feature id (0-padded)
+    n_unique: int
+    n_rows_pad: int
+    n_valid_rows: float
+
+
+def plan_batch(ids, vals, mask, fields, labels, row_mask=None,
+               n_rows_pad=None) -> FFMBatchPlan:
+    """Host-side dedup only (np.unique) — NO sorting of positions: the
+    dense-sweep kernels take ranks in natural order. Mirrors the reference
+    worker's per-batch key-set build (distributed_algo_abst.h:181-190)."""
+    B, L = ids.shape
+    if row_mask is None:
+        row_mask = np.ones((B,), np.float32)
+    flat = ids.reshape(-1).astype(np.int64)
+    valid = mask.reshape(-1) > 0
+    uniq = np.unique(flat[valid])
+    n_unique = len(uniq)
+    if n_rows_pad is None:
+        n_rows_pad = _round_up(n_unique + 1, RBLK)
+    assert n_unique < n_rows_pad, (n_unique, n_rows_pad)
+    pad_rank = n_rows_pad - 1
+    ranks_bl = np.searchsorted(uniq, flat)
+    ranks_bl = np.where(valid, ranks_bl, pad_rank).astype(np.int32)
+    n_pad = _round_up(B * L, TILE)
+    ranks = np.full((n_pad,), pad_rank, np.int32)
+    ranks[: B * L] = ranks_bl
+    uids = np.zeros((n_rows_pad,), np.int64)
+    uids[:n_unique] = uniq
+    return FFMBatchPlan(
+        ranks=jnp.asarray(ranks),
+        xv=jnp.asarray((vals * mask).astype(np.float32)),
+        fields=jnp.asarray(fields.astype(np.int32)),
+        labels=jnp.asarray(labels.astype(np.float32)),
+        row_mask=jnp.asarray(row_mask.astype(np.float32)),
+        uids=uids,
+        n_unique=n_unique,
+        n_rows_pad=n_rows_pad,
+        n_valid_rows=float(row_mask.sum()),
+    )
+
+
+def init(rng: jax.Array, cfg: KernelFFMConfig, plan: FFMBatchPlan) -> KernelFFMState:
+    R, Dw = plan.n_rows_pad, cfg.row_width
+    fk = cfg.n_fields * cfg.factor
+    table = jnp.zeros((R, Dw))
+    table = table.at[:, 1 : 1 + fk].set(
+        jax.random.normal(rng, (R, fk)) * cfg.init_std
+    )
+    table = table.at[R - 1].set(0.0)  # padding rank row stays zero
+    return KernelFFMState(
+        w0=jnp.zeros(()),
+        w0_accum=jnp.zeros(()),
+        table=table,
+        accum=jnp.zeros((R, Dw)),
+    )
+
+
+def _logits_from_table(table, w0, plan: FFMBatchPlan, cfg: KernelFFMConfig,
+                       onehot_f, weighted):
+    """Field-aggregation FFM forward (same math as
+    ops/interactions.ffm_interaction, which is the tested ground truth)."""
+    B, L = plan.xv.shape
+    F, Kf, Dw = cfg.n_fields, cfg.factor, cfg.row_width
+    e = rank_lookup(table, plan.ranks, cfg.interpret, cfg.exact)  # [n_pad, Dw]
+    e = e[: B * L].reshape(B, L, Dw)
+    w_pos = e[..., 0]                                       # [B, L]
+    V = e[..., 1 : 1 + F * Kf].reshape(B, L, F, Kf)         # [B, L, F, K]
+    wx = jnp.sum(w_pos * plan.xv, axis=-1)
+    # glue einsums ride the MXU; in fast mode stream them in bf16 with f32
+    # accumulation (halves the [B,L,F,K] HBM traffic, the glue bottleneck)
+    cdt = jnp.float32 if cfg.exact else jnp.bfloat16
+    Vc = V.astype(cdt)
+    p = jnp.einsum("blf,blgk->bfgk", weighted.astype(cdt), Vc,
+                   preferred_element_type=jnp.float32)      # [B, F1, F2, K]
+    pc = p.astype(cdt)
+    total = jnp.einsum("bfgk,bgfk->b", pc, pc,
+                       preferred_element_type=jnp.float32)
+    v_own = jnp.einsum("blf,blfk->blk", onehot_f.astype(cdt), Vc,
+                       preferred_element_type=jnp.float32)  # [B, L, K]
+    self_t = jnp.sum(jnp.sum(v_own * v_own, axis=-1) * plan.xv * plan.xv,
+                     axis=-1)
+    return w0 + wx + 0.5 * (total - self_t)
+
+
+def make_train_step(cfg: KernelFFMConfig, plan: FFMBatchPlan):
+    R = plan.n_rows_pad
+    n_valid = plan.n_valid_rows
+    onehot_f = jax.nn.one_hot(plan.fields, cfg.n_fields)    # [B, L, F]
+    weighted = onehot_f * plan.xv[..., None]
+
+    def loss_fn(table, w0):
+        z = _logits_from_table(table, w0, plan, cfg, onehot_f, weighted)
+        per = (jnp.maximum(z, 0) - z * plan.labels
+               + jnp.log1p(jnp.exp(-jnp.abs(z))))
+        return jnp.sum(per * plan.row_mask) / n_valid
+
+    @jax.jit
+    def step(state: KernelFFMState, hyper=None):
+        # hyper: optional [lr, l2] runtime override (one compile across
+        # hyperparameter sweeps — compiles are expensive over the tunnel)
+        lr = cfg.learning_rate if hyper is None else hyper[0]
+        l2 = cfg.l2 if hyper is None else hyper[1]
+        loss, (g_table, g_w0) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            state.table, state.w0
+        )
+        g_table = g_table + l2 * state.table
+        accum = state.accum + g_table * g_table
+        table = state.table - lr * g_table / (jnp.sqrt(accum) + 1e-7)
+        table = table.at[R - 1].set(0.0)    # keep the padding rank row zero
+        w0_accum = state.w0_accum + g_w0 * g_w0
+        w0 = state.w0 - lr * g_w0 / (jnp.sqrt(w0_accum) + 1e-7)
+        return KernelFFMState(w0, w0_accum, table, accum), loss
+
+    return step
+
+
+def predict_logits(state: KernelFFMState, plan: FFMBatchPlan,
+                   cfg: KernelFFMConfig) -> jax.Array:
+    onehot_f = jax.nn.one_hot(plan.fields, cfg.n_fields)
+    weighted = onehot_f * plan.xv[..., None]
+    return _logits_from_table(state.table, state.w0, plan, cfg,
+                              onehot_f, weighted)
+
+
+def export_params(state: KernelFFMState, plan: FFMBatchPlan,
+                  cfg: KernelFFMConfig) -> dict:
+    """-> params dict usable with models/ffm.forward (full-vocab space)."""
+    F, Kf = cfg.n_fields, cfg.factor
+    w_full = np.zeros((cfg.n_features,), np.float32)
+    v_full = np.zeros((cfg.n_features, F, Kf), np.float32)
+    table = np.asarray(state.table)
+    uids = plan.uids[: plan.n_unique]
+    w_full[uids] = table[: plan.n_unique, 0]
+    v_full[uids] = table[: plan.n_unique, 1 : 1 + F * Kf].reshape(-1, F, Kf)
+    return {
+        "w0": jnp.asarray(float(state.w0)),
+        "w": jnp.asarray(w_full),
+        "v": jnp.asarray(v_full),
+    }
