@@ -85,6 +85,13 @@ def main(argv=None):
     t = sub.add_parser("train", parents=[common])
     t.add_argument("--train", required=True)
     t.add_argument("--test", default=None)
+    t.add_argument("--engine", default="dense", choices=["dense", "kernel"],
+                   help="dense = autodiff XLA step; kernel = fused Pallas "
+                        "trainers (fm/nfm streaming, ffm full-batch) — the "
+                        "fast path bench.py measures")
+    t.add_argument("--kernel-precision", default="exact",
+                   choices=["exact", "bf16"],
+                   help="kernel engine one-hot matmul precision")
     t.add_argument("--epochs", type=int, default=5)
     t.add_argument("--optimizer", default="adagrad",
                    choices=["sgd", "momentum", "adagrad", "rmsprop", "adadelta", "adam", "ftrl"])
@@ -168,6 +175,51 @@ def main(argv=None):
 
             n_features = round_up_vocab(n_features)
         model, cfg = _build_model(args, n_features, train_ds.n_fields)
+
+        if args.engine == "kernel":
+            if args.model not in ("fm", "nfm", "ffm"):
+                raise SystemExit(
+                    f"--engine kernel supports fm/nfm/ffm, not {args.model}")
+            if args.mesh:
+                raise SystemExit(
+                    "--engine kernel + --mesh: use the sharded kernel API "
+                    "(parallel/sharded_kernel.py) — CLI wiring is dense-only")
+            from .train.kernel_engine import KERNEL_ENGINES
+            from .train.loop import evaluate
+
+            exact = args.kernel_precision == "exact"
+            kw = dict(factor=args.factor, learning_rate=args.lr, l2=args.l2,
+                      epochs=args.epochs, seed=args.seed, exact=exact)
+            if args.model == "fm":
+                kw.update(batch_size=args.batch_size,
+                          wide_optimizer=("ftrl" if args.optimizer == "ftrl"
+                                          else "adagrad"))
+            elif args.model == "nfm":
+                hidden = tuple(int(h) for h in args.hidden.split(",") if h)
+                kw.update(batch_size=args.batch_size, hidden=hidden)
+            params, _ = KERNEL_ENGINES[args.model](train_ds, **kw)
+
+            print("train:", json.dumps(
+                evaluate(model, cfg, params, train_ds, args.batch_size)))
+            if args.test:
+                test_ds = load_libffm(
+                    args.test, n_features=train_ds.n_features,
+                    n_fields=train_ds.n_fields)
+                print("test:", json.dumps(
+                    evaluate(model, cfg, params, test_ds, args.batch_size)))
+            if args.ckpt:
+                from .train.checkpoint import save_checkpoint
+
+                save_checkpoint(args.ckpt, params, {
+                    "model": args.model,
+                    "n_features": cfg.n_features,
+                    "n_features_data": train_ds.n_features,
+                    "n_fields": train_ds.n_fields,
+                    "engine": "kernel",
+                })
+                print(f"saved checkpoint to {args.ckpt}.npz")
+            return
+
         tx = _build_optimizer(args)
 
         if args.mesh:

@@ -15,6 +15,7 @@ the plan is computed once and the sort cost is zero per step.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple
 
 import numpy as np
@@ -333,6 +334,80 @@ def make_streaming_train_step(cfg: KernelFMConfig, capacity: int, b_pad: int):
         return StreamingFMState(w0, w0_accum, table, accum), loss
 
     return step
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "b_pad"))
+def plan_batch_on_device(ids, vals, mask, labels, row_mask,
+                         capacity: int, b_pad: int) -> dict:
+    """DEVICE-side batch planning for the streaming kernel step: one
+    argsort + cumsum dedup + tile-window extraction, entirely under jit —
+    no host numpy in the per-batch path. Replaces plan_batch's host
+    argsort (the reference worker builds its per-batch key set inline the
+    same way, distributed_algo_abst.h:181-190).
+
+    ids/vals/mask: [B, L] device arrays; labels/row_mask: [B].
+    capacity: static unique-rank space (multiple of 2*TILE, > max uniques
+    per batch); b_pad: static lane-aligned batch padding (>= B).
+    Returns the dict make_streaming_train_step consumes.
+    """
+    from ..ops.embedding_pallas import TILE
+
+    B, L = ids.shape
+    n = B * L
+    n_pad = (n + TILE - 1) // TILE * TILE
+    flat = ids.reshape(-1).astype(jnp.int32)
+    valid = mask.reshape(-1) > 0
+    sentinel = jnp.int32(2**31 - 1)
+    keyed = jnp.where(valid, flat, sentinel)
+    if n_pad > n:
+        keyed = jnp.concatenate(
+            [keyed, jnp.full((n_pad - n,), sentinel, jnp.int32)]
+        )
+    order = jnp.argsort(keyed)
+    sorted_ids = keyed[order]
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         (sorted_ids[1:] != sorted_ids[:-1]).astype(jnp.int32)]
+    )
+    is_new = jnp.where(sorted_ids == sentinel, 0, is_new)
+    ranks = jnp.cumsum(is_new) - 1
+    n_unique = jnp.sum(is_new)
+
+    pad_rank = capacity - 1
+    ranks_sorted = jnp.where(
+        sorted_ids == sentinel, pad_rank, ranks
+    ).astype(jnp.int32)
+    # uids[rank] = id for first-occurrence positions; others dropped
+    take = jnp.where(is_new > 0, ranks, capacity)
+    uids = (
+        jnp.zeros((capacity + 1,), jnp.int32)
+        .at[take].set(jnp.where(sorted_ids == sentinel, 0, sorted_ids),
+                      mode="drop")[:capacity]
+    )
+    tile_base = jnp.minimum(
+        ranks_sorted[::TILE] // TILE, capacity // TILE - 2
+    ).astype(jnp.int32)
+
+    xv = (vals * mask).reshape(-1)
+    if n_pad > n:
+        xv = jnp.concatenate([xv, jnp.zeros((n_pad - n,))])
+    xv_sorted = xv[order]
+    # padded positions (order >= n) map past B; with b_pad >= B their row
+    # one-hot never matches, so they contribute nothing either way
+    rowid_sorted = (order // L).astype(jnp.int32)
+
+    labels_p = jnp.zeros((b_pad,)).at[:B].set(labels)
+    rmask_p = jnp.zeros((b_pad,)).at[:B].set(row_mask)
+    return {
+        "uids": uids,
+        "n_unique": n_unique.astype(jnp.int32),
+        "ranks_sorted": ranks_sorted,
+        "rowid_sorted": rowid_sorted,
+        "xv_sorted": xv_sorted,
+        "tile_base": tile_base,
+        "labels_padded": labels_p,
+        "row_mask_padded": rmask_p,
+    }
 
 
 def plan_to_arrays(plan: BatchPlan, capacity: int) -> dict:

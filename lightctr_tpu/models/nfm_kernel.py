@@ -145,6 +145,129 @@ def make_train_step(cfg: KernelNFMConfig, plan: BatchPlan):
     return step
 
 
+class StreamingNFMState(NamedTuple):
+    """Master tables in VOCAB space (ranks are per-batch labels only)."""
+
+    w0: jax.Array
+    w0_accum: jax.Array
+    table: jax.Array   # [V, 16] packed [w | v | pad]
+    accum: jax.Array   # [V, 16] adagrad accumulator
+    mlp: list
+    mlp_opt: object
+
+
+def streaming_init(rng: jax.Array, cfg: KernelNFMConfig) -> StreamingNFMState:
+    from .. import optim
+
+    k1, k2 = jax.random.split(rng)
+    table = jnp.zeros((cfg.n_features, K.D))
+    table = table.at[:, 1 : 1 + cfg.factor].set(
+        jax.random.normal(k1, (cfg.n_features, cfg.factor)) * cfg.init_std
+    )
+    mlp = mlp_init(k2, [cfg.factor, *cfg.hidden, 1])
+    tx = optim.adam(cfg.mlp_learning_rate)
+    return StreamingNFMState(
+        w0=jnp.zeros(()),
+        w0_accum=jnp.zeros(()),
+        table=table,
+        accum=jnp.zeros((cfg.n_features, K.D)),
+        mlp=mlp,
+        mlp_opt=tx.init(mlp),
+    )
+
+
+def make_streaming_train_step(cfg: KernelNFMConfig, capacity: int, b_pad: int):
+    """Minibatch-streaming kernel NFM: one compiled program serves every
+    batch (same pull -> fused kernels -> row-sparse push cycle as
+    fm_kernel.make_streaming_train_step, plus the XLA MLP tower on the
+    pooled [B, K] tensor with Adam)."""
+    from .. import optim
+
+    n_k = cfg.factor
+    R = capacity
+    interp = cfg.interpret
+    tx = optim.adam(cfg.mlp_learning_rate)
+
+    @jax.jit
+    def step(state: StreamingNFMState, b: dict, hyper=None):
+        lr = cfg.learning_rate if hyper is None else hyper[0]
+        l2 = cfg.l2 if hyper is None else hyper[1]
+
+        uids = b["uids"]
+        n_unique = b["n_unique"]
+        rows = state.table[uids]                # "pull" unique rows
+        rows = rows.at[R - 1].set(0.0)
+
+        rowsum, e_pos = K.fm_forward(
+            rows, b["ranks_sorted"], b["rowid_sorted"], b["xv_sorted"],
+            b["tile_base"], n_k=n_k, b_pad=b_pad, interpret=interp,
+            exact=cfg.exact,
+        )
+        wx = rowsum[:, 0]
+        s = rowsum[:, 1 : 1 + n_k]
+        ss = rowsum[:, 1 + n_k : 1 + 2 * n_k]
+        pooled = 0.5 * (s * s - ss)
+
+        def deep_fn(mlp, pooled):
+            return mlp_apply(mlp, pooled, activation=cfg.activation)[:, 0]
+
+        deep, deep_vjp = jax.vjp(deep_fn, state.mlp, pooled)
+        z = state.w0 + wx + deep
+        labels_p = b["labels_padded"]
+        rmask_p = b["row_mask_padded"]
+        n_valid = jnp.maximum(jnp.sum(rmask_p), 1.0)
+        per = jnp.maximum(z, 0) - z * labels_p + jnp.log1p(jnp.exp(-jnp.abs(z)))
+        loss = jnp.sum(per * rmask_p) / n_valid
+        dlogit = (jax.nn.sigmoid(z) - labels_p) * rmask_p / n_valid
+
+        d_mlp, g_pool = deep_vjp(dlogit)
+        duals = jnp.zeros((b_pad, K.S))
+        duals = duals.at[:, 0].set(dlogit)
+        duals = duals.at[:, 1 : 1 + n_k].set(g_pool * s)
+        duals = duals.at[:, 1 + n_k : 1 + 2 * n_k].set(g_pool)
+
+        dwv_pos = K.fm_backward_positions(
+            b["rowid_sorted"], b["xv_sorted"], e_pos, duals,
+            n_k=n_k, b_pad=b_pad, interpret=interp, exact=cfg.exact,
+        )
+        grad_rows = blocked_scatter_add(
+            dwv_pos, b["ranks_sorted"], b["tile_base"],
+            n_rows=R, interpret=interp, exact=cfg.exact,
+        )
+        grad_rows = grad_rows + l2 * rows
+
+        # row-sparse adagrad "push": padding rows redirected out of bounds
+        pos = jnp.arange(R)
+        m = (pos < n_unique).astype(jnp.float32)[:, None]
+        safe_uids = jnp.where(pos < n_unique, uids, state.table.shape[0])
+        g = grad_rows * m
+        acc_rows = state.accum[uids] + g * g
+        upd = lr * g / (jnp.sqrt(acc_rows) + 1e-7)
+        accum = state.accum.at[safe_uids].set(acc_rows, mode="drop")
+        table = state.table.at[safe_uids].add(-upd, mode="drop")
+
+        mlp_updates, mlp_opt = tx.update(d_mlp, state.mlp_opt, state.mlp)
+        mlp = optim.apply_updates(state.mlp, mlp_updates)
+
+        g0 = jnp.sum(dlogit)
+        w0_accum = state.w0_accum + g0 * g0
+        w0 = state.w0 - lr * g0 / (jnp.sqrt(w0_accum) + 1e-7)
+        return StreamingNFMState(w0, w0_accum, table, accum, mlp, mlp_opt), loss
+
+    return step
+
+
+def export_streaming_params(state: StreamingNFMState, cfg: KernelNFMConfig):
+    """-> params dict usable with models/nfm.forward (vocab space)."""
+    table = np.asarray(state.table)
+    return {
+        "w0": jnp.asarray(float(state.w0)),
+        "w": jnp.asarray(table[:, 0]),
+        "v": jnp.asarray(table[:, 1 : 1 + cfg.factor]),
+        "mlp": state.mlp,
+    }
+
+
 def export_tables(state: KernelNFMState, plan: BatchPlan, cfg: KernelNFMConfig):
     """-> params dict usable with models/nfm.forward (full-vocab space)."""
     w_full = np.zeros((cfg.n_features,), np.float32)

@@ -1,0 +1,178 @@
+"""Kernel-engine training driver: the fused Pallas trainers as the
+PRODUCT path (reference: the one binary runs its fast implementation,
+/root/reference/main.cpp:144-148 -> Train_FM_Algo; here
+`cli.py train --engine kernel` reaches the same fused kernels bench.py
+measures).
+
+Engines:
+  fm  — streaming minibatch (vocab-space master tables, per-batch plans
+        built ON DEVICE by fm_kernel.plan_batch_on_device and dispatched
+        from the Prefetcher thread), or single-plan full-batch when
+        batch_size >= dataset rows (the reference FM regime,
+        train_fm_algo.cpp:38).
+  nfm — same streaming cycle plus the XLA MLP tower.
+  ffm — full-batch on the dense-sweep kernels (models/ffm_kernel.py).
+
+Each returns a params dict in the corresponding dense model's format, so
+checkpointing (train/checkpoint.py) and scoring (serve/scorer.py) are the
+same downstream flow as the dense engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.batching import sparse_batches
+from ..data.pipeline import Prefetcher
+from ..models import ffm_kernel, fm_kernel, nfm_kernel
+from ..ops.embedding_pallas import TILE
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _interpret() -> bool:
+    """Pallas interpret mode off TPU (CPU tests/CLI runs use the same code
+    path through the interpreter; compiled Mosaic on real chips)."""
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _streaming_dims(ds, batch_size: int):
+    """(capacity, b_pad) for the streaming kernel step."""
+    L = ds.ids.shape[1]
+    max_uniques = min(batch_size * L, ds.n_features)
+    capacity = _round_up(max_uniques + TILE + 1, 2 * TILE)
+    b_pad = max(_round_up(batch_size, 128), 128)
+    return capacity, b_pad
+
+
+def train_fm_kernel(ds, factor=8, learning_rate=0.05, l2=0.0, epochs=5,
+                    batch_size=256, seed=0, exact=True, log=print,
+                    wide_optimizer="adagrad"):
+    """-> (params dict {w0,w,v}, per-epoch mean losses)."""
+    cfg = fm_kernel.KernelFMConfig(
+        n_features=ds.n_features, factor=factor, learning_rate=learning_rate,
+        l2=l2, exact=exact, wide_optimizer=wide_optimizer,
+        interpret=_interpret(),
+    )
+    rng = jax.random.PRNGKey(seed)
+    epoch_losses = []
+
+    if batch_size >= len(ds):
+        # full-batch: one plan, zero per-step planning cost
+        plan = fm_kernel.plan_batch(
+            ds.ids.astype(np.int64), ds.vals, ds.mask, ds.labels
+        )
+        state = fm_kernel.init(rng, cfg, plan)
+        step = fm_kernel.make_train_step(cfg, plan)
+        for epoch in range(epochs):
+            state, loss = step(state)
+            epoch_losses.append(float(loss))
+            if log:
+                log(f"epoch {epoch}: loss={epoch_losses[-1]:.5f}")
+        w0, w, v = fm_kernel.export_tables(state, plan, cfg)
+        return {"w0": jnp.asarray(w0), "w": jnp.asarray(w),
+                "v": jnp.asarray(v)}, epoch_losses
+
+    capacity, b_pad = _streaming_dims(ds, batch_size)
+    state = fm_kernel.streaming_init(rng, cfg)
+    step = fm_kernel.make_streaming_train_step(cfg, capacity, b_pad)
+    np_rng = np.random.default_rng(seed)
+
+    def place(b):
+        # device-side planning, dispatched from the Prefetcher thread so
+        # it overlaps with the previous step's compute
+        return fm_kernel.plan_batch_on_device(
+            jnp.asarray(b["ids"].astype(np.int32)), jnp.asarray(b["vals"]),
+            jnp.asarray(b["mask"]), jnp.asarray(b["labels"]),
+            jnp.asarray(b["row_mask"]), capacity=capacity, b_pad=b_pad,
+        )
+
+    pf = Prefetcher(
+        lambda ep: sparse_batches(ds, batch_size, rng=np_rng), placer=place
+    )
+    for epoch in range(epochs):
+        losses = []
+        for b in pf.epoch(epoch):
+            state, loss = step(state, b)
+            losses.append(loss)
+        epoch_losses.append(float(jnp.mean(jnp.stack(losses))))
+        if log:
+            log(f"epoch {epoch}: loss={epoch_losses[-1]:.5f}")
+    table = np.asarray(state.table)
+    return {
+        "w0": jnp.asarray(float(state.w0)),
+        "w": jnp.asarray(table[:, 0]),
+        "v": jnp.asarray(table[:, 1 : 1 + factor]),
+    }, epoch_losses
+
+
+def train_nfm_kernel(ds, factor=8, hidden=(64,), learning_rate=0.05,
+                     mlp_learning_rate=1e-3, l2=0.0, epochs=5,
+                     batch_size=256, seed=0, exact=True, log=print):
+    """-> (params dict {w0,w,v,mlp} for models/nfm, per-epoch losses)."""
+    cfg = nfm_kernel.KernelNFMConfig(
+        n_features=ds.n_features, factor=factor, hidden=tuple(hidden),
+        learning_rate=learning_rate, mlp_learning_rate=mlp_learning_rate,
+        l2=l2, exact=exact, interpret=_interpret(),
+    )
+    rng = jax.random.PRNGKey(seed)
+    batch_size = min(batch_size, len(ds))
+    capacity, b_pad = _streaming_dims(ds, batch_size)
+    state = nfm_kernel.streaming_init(rng, cfg)
+    step = nfm_kernel.make_streaming_train_step(cfg, capacity, b_pad)
+    np_rng = np.random.default_rng(seed)
+
+    def place(b):
+        return fm_kernel.plan_batch_on_device(
+            jnp.asarray(b["ids"].astype(np.int32)), jnp.asarray(b["vals"]),
+            jnp.asarray(b["mask"]), jnp.asarray(b["labels"]),
+            jnp.asarray(b["row_mask"]), capacity=capacity, b_pad=b_pad,
+        )
+
+    pf = Prefetcher(
+        lambda ep: sparse_batches(ds, batch_size, rng=np_rng), placer=place
+    )
+    epoch_losses = []
+    for epoch in range(epochs):
+        losses = []
+        for b in pf.epoch(epoch):
+            state, loss = step(state, b)
+            losses.append(loss)
+        epoch_losses.append(float(jnp.mean(jnp.stack(losses))))
+        if log:
+            log(f"epoch {epoch}: loss={epoch_losses[-1]:.5f}")
+    return nfm_kernel.export_streaming_params(state, cfg), epoch_losses
+
+
+def train_ffm_kernel(ds, factor=4, learning_rate=0.05, l2=0.0, epochs=5,
+                     seed=0, exact=False, log=print):
+    """Full-batch kernel FFM -> (params dict {w0,w,v}, per-epoch losses)."""
+    cfg = ffm_kernel.KernelFFMConfig(
+        n_features=ds.n_features, n_fields=ds.n_fields, factor=factor,
+        learning_rate=learning_rate, l2=l2, exact=exact,
+        interpret=_interpret(),
+    )
+    plan = ffm_kernel.plan_batch(
+        ds.ids.astype(np.int64), ds.vals, ds.mask, ds.fields, ds.labels
+    )
+    state = ffm_kernel.init(jax.random.PRNGKey(seed), cfg, plan)
+    step = ffm_kernel.make_train_step(cfg, plan)
+    epoch_losses = []
+    for epoch in range(epochs):
+        state, loss = step(state)
+        epoch_losses.append(float(loss))
+        if log:
+            log(f"epoch {epoch}: loss={epoch_losses[-1]:.5f}")
+    return ffm_kernel.export_params(state, plan, cfg), epoch_losses
+
+
+KERNEL_ENGINES = {
+    "fm": train_fm_kernel,
+    "nfm": train_nfm_kernel,
+    "ffm": train_ffm_kernel,
+}

@@ -41,6 +41,41 @@ def test_cli_train_and_score(tiny_libffm, tmp_path, capsys):
     assert len(open(tmp_path / "preds.txt").readlines()) == 200
 
 
+def test_cli_train_kernel_engine(tiny_libffm, tmp_path, capsys):
+    """--engine kernel: the fused Pallas trainers as the product path
+    (VERDICT r1 #2), exporting into the standard checkpoint/score flow."""
+    ckpt = str(tmp_path / "mk")
+    main([
+        "train", "--model", "fm", "--factor", "4", "--train", tiny_libffm,
+        "--engine", "kernel", "--epochs", "6", "--lr", "0.2",
+        "--batch-size", "64", "--ckpt", ckpt,
+    ])
+    out = capsys.readouterr().out
+    assert "train:" in out and "auc" in out
+    assert "saved checkpoint" in out
+    import json
+
+    auc = json.loads(out.split("train:")[1].splitlines()[0])["auc"]
+    assert auc > 0.8
+
+    main([
+        "score", "--model", "fm", "--factor", "4", "--test", tiny_libffm,
+        "--ckpt", ckpt, "--dump", str(tmp_path / "predk.txt"),
+    ])
+    out = capsys.readouterr().out
+    assert "auc" in out
+    assert len(open(tmp_path / "predk.txt").readlines()) == 200
+
+
+def test_cli_train_kernel_engine_ffm(tiny_libffm, capsys):
+    main([
+        "train", "--model", "ffm", "--factor", "2", "--train", tiny_libffm,
+        "--engine", "kernel", "--epochs", "4", "--lr", "0.2",
+    ])
+    out = capsys.readouterr().out
+    assert "train:" in out and "auc" in out
+
+
 def test_cli_train_mesh(tiny_libffm, capsys):
     main([
         "train", "--model", "widedeep", "--train", tiny_libffm,
