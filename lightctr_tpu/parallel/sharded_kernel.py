@@ -1,0 +1,160 @@
+"""Model-axis sharding for the fused-kernel streaming trainers — the PS
+capability at the vocab scale it exists for.
+
+The reference shards its sparse KV over ParamServers by consistent
+hashing and applies the optimizer server-side
+(/root/reference/LightCTR/distribut/paramserver.h:122-300). TPU-native
+replacement (explicit shard_map, not GSPMD inference, so the collective
+pattern is pinned):
+
+  table [V, D] row-sharded over the `model` axis (contiguous row ranges —
+  the DHT analogue). Per batch, with the global unique-id list `uids`:
+
+    pull:  each shard gathers its owned rows, zeros elsewhere ->
+           one psum over `model` assembles the replicated [R, D] rank
+           rows (each uid is owned by exactly one shard).
+    step:  the fused Pallas kernels run replicated on every device (the
+           per-batch rank-space compute is tiny next to table capacity —
+           the reason to shard is MEMORY, exactly the PS's raison d'etre).
+    push:  each shard applies the Adagrad update to its owned rows only —
+           the server-side-update equivalent, state co-located.
+
+Capacity scales with devices: each chip holds V/M rows, so an 8-chip
+model axis holds an 8x larger vocabulary than bench.py's single-chip run.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.fm_kernel import KernelFMConfig, StreamingFMState
+from ..ops import fm_fused_pallas as K
+from ..ops.embedding_pallas import blocked_scatter_add
+
+
+def shard_streaming_state(state: StreamingFMState, mesh: Mesh) -> StreamingFMState:
+    """Place the vocab-space master tables row-sharded over `model`."""
+    table_sh = NamedSharding(mesh, P("model", None))
+    rep = NamedSharding(mesh, P())
+    return StreamingFMState(
+        w0=jax.device_put(state.w0, rep),
+        w0_accum=jax.device_put(state.w0_accum, rep),
+        table=jax.device_put(state.table, table_sh),
+        accum=jax.device_put(state.accum, table_sh),
+    )
+
+
+def make_sharded_streaming_step(cfg: KernelFMConfig, capacity: int,
+                                b_pad: int, mesh: Mesh):
+    """Sharded twin of fm_kernel.make_streaming_train_step: same batch
+    dict (fm_kernel.plan_batch_on_device / plan_to_arrays), same losses to
+    fp tolerance (tests/test_sharded_kernel.py), tables sharded."""
+    n_k = cfg.factor
+    R = capacity
+    interp = cfg.interpret
+    M = mesh.shape["model"]
+    V = cfg.n_features
+    assert V % M == 0, (
+        f"vocab {V} not divisible by model axis {M}; round with "
+        f"parallel.sharding.round_up_vocab(n, {M})"
+    )
+    rows_per_shard = V // M
+
+    def local_step(table_l, accum_l, w0, w0_accum, b, hyper):
+        # hyper: [lr, l2] runtime array (one compile across sweeps)
+        lr, l2 = hyper[0], hyper[1]
+
+        uids = b["uids"]                       # [R] global ids, replicated
+        n_unique = b["n_unique"]
+
+        # ---- pull: assemble replicated rank rows from the owning shards
+        shard = jax.lax.axis_index("model")
+        offset = shard * rows_per_shard
+        local = uids - offset
+        in_range = (local >= 0) & (local < rows_per_shard)
+        safe = jnp.clip(local, 0, rows_per_shard - 1)
+        rows = jnp.where(in_range[:, None], table_l[safe], 0.0)
+        rows = jax.lax.psum(rows, "model")      # [R, D] replicated
+        rows = rows.at[R - 1].set(0.0)
+
+        # ---- replicated fused-kernel compute (identical on all shards)
+        rowsum, e_pos = K.fm_forward(
+            rows, b["ranks_sorted"], b["rowid_sorted"], b["xv_sorted"],
+            b["tile_base"], n_k=n_k, b_pad=b_pad, interpret=interp,
+            exact=cfg.exact,
+        )
+        wx = rowsum[:, 0]
+        s = rowsum[:, 1 : 1 + n_k]
+        ss = rowsum[:, 1 + n_k : 1 + 2 * n_k]
+        z = w0 + wx + 0.5 * jnp.sum(s * s - ss, axis=-1)
+        labels_p = b["labels_padded"]
+        rmask_p = b["row_mask_padded"]
+        n_valid = jnp.maximum(jnp.sum(rmask_p), 1.0)
+        per = jnp.maximum(z, 0) - z * labels_p + jnp.log1p(jnp.exp(-jnp.abs(z)))
+        loss = jnp.sum(per * rmask_p) / n_valid
+        dlogit = (jax.nn.sigmoid(z) - labels_p) * rmask_p / n_valid
+
+        duals = jnp.zeros((b_pad, K.S))
+        duals = duals.at[:, 0].set(dlogit)
+        duals = duals.at[:, 1 : 1 + n_k].set(dlogit[:, None] * s)
+        duals = duals.at[:, 1 + n_k : 1 + 2 * n_k].set(
+            jnp.broadcast_to(dlogit[:, None], (b_pad, n_k))
+        )
+        dwv_pos = K.fm_backward_positions(
+            b["rowid_sorted"], b["xv_sorted"], e_pos, duals,
+            n_k=n_k, b_pad=b_pad, interpret=interp, exact=cfg.exact,
+        )
+        grad_rows = blocked_scatter_add(
+            dwv_pos, b["ranks_sorted"], b["tile_base"],
+            n_rows=R, interpret=interp, exact=cfg.exact,
+        )
+        grad_rows = grad_rows + l2 * rows
+
+        # ---- push: server-side Adagrad on owned rows only
+        pos = jnp.arange(R)
+        m = (pos < n_unique).astype(jnp.float32)[:, None]
+        g = grad_rows * m
+        acc_rows = jnp.where(in_range[:, None], accum_l[safe], 0.0) + g * g
+        upd = lr * g / (jnp.sqrt(acc_rows) + 1e-7)
+        own = in_range & (pos < n_unique)
+        scatter_idx = jnp.where(own, safe, rows_per_shard)
+        accum_l = accum_l.at[scatter_idx].set(acc_rows, mode="drop")
+        table_l = table_l.at[scatter_idx].add(-upd, mode="drop")
+
+        g0 = jnp.sum(dlogit)
+        w0_accum = w0_accum + g0 * g0
+        w0 = w0 - lr * g0 / (jnp.sqrt(w0_accum) + 1e-7)
+        return table_l, accum_l, w0, w0_accum, loss
+
+    table_spec = P("model", None)
+    rep = P()
+    batch_specs = {
+        "uids": rep, "n_unique": rep, "ranks_sorted": rep,
+        "rowid_sorted": rep, "xv_sorted": rep, "tile_base": rep,
+        "labels_padded": rep, "row_mask_padded": rep,
+    }
+    mapped = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(table_spec, table_spec, rep, rep, batch_specs, rep),
+        out_specs=(table_spec, table_spec, rep, rep, rep),
+        check_rep=False,
+    )
+
+    default_hyper = jnp.asarray([cfg.learning_rate, cfg.l2], jnp.float32)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: StreamingFMState, b: dict, hyper=None):
+        h = default_hyper if hyper is None else hyper
+        table, accum, w0, w0_accum, loss = mapped(
+            state.table, state.accum, state.w0, state.w0_accum, b, h,
+        )
+        return StreamingFMState(w0, w0_accum, table, accum), loss
+
+    return step

@@ -84,10 +84,23 @@ def make_sharded_train_step(
 ) -> Callable:
     """Jitted SPMD train step with explicit output shardings.
 
-    Params/opt-state keep their table sharding across steps; XLA inserts
-    the all-to-all for the embedding gather and the psum for the
+    Params/opt-state keep their table sharding across steps — pinned via
+    jit out_shardings (NOT inherited from the inputs), so one XLA layout
+    decision cannot silently replicate a vocab-sized table mid-step. XLA
+    inserts the all-to-all for the embedding gather and the psum for the
     data-parallel gradient reduction.
     """
+    rng0 = jax.random.PRNGKey(0)
+    abstract_params = jax.eval_shape(lambda r: model.init(r, cfg), rng0)
+    p_specs = param_specs(abstract_params, shard_threshold)
+    o_specs = param_specs(jax.eval_shape(tx.init, abstract_params),
+                          shard_threshold)
+    as_sh = lambda s: NamedSharding(mesh, s)
+    state_shardings = TrainState(
+        jax.tree_util.tree_map(as_sh, p_specs),
+        jax.tree_util.tree_map(as_sh, o_specs),
+        as_sh(P()),
+    )
 
     def step(state: TrainState, batch: dict):
         rng, sub = jax.random.split(state.rng)
@@ -96,7 +109,8 @@ def make_sharded_train_step(
         params = optim.apply_updates(state.params, updates)
         return TrainState(params, opt_state, rng), loss_val
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,),
+                   out_shardings=(state_shardings, as_sh(P())))
 
 
 def init_sharded_state(model, cfg, tx, mesh: Mesh, seed: int = 0,
