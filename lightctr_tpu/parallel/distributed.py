@@ -73,9 +73,19 @@ def heartbeat(
 def elastic_restore(ckpt_path: str, template, placer=None):
     """Resume-from-checkpoint on (re)start if one exists, else None —
     the elasticity story: crashed/preempted workers rejoin by restoring
-    the last sharded checkpoint rather than pulling warm PS state."""
-    from ..train.checkpoint import load_checkpoint
+    the last checkpoint rather than pulling warm PS state (exercised by
+    the kill-and-restore flow in tests/test_multiprocess.py).
 
+    Prefers per-shard checkpoints (`<path>.proc*.npz`,
+    train/checkpoint.save_checkpoint_sharded) — each process re-places
+    only the slices its devices own; falls back to the single-file
+    format."""
+    import glob
+
+    from ..train.checkpoint import load_checkpoint, load_checkpoint_sharded
+
+    if glob.glob(ckpt_path + ".proc*.npz"):
+        return load_checkpoint_sharded(ckpt_path, template)
     if os.path.exists(ckpt_path + ".npz"):
         return load_checkpoint(ckpt_path, template, placer=placer)
     return None

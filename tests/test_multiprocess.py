@@ -53,6 +53,143 @@ print("WORKER_OK", {pid}, val)
 """
 
 
+_TRAIN_WORKER = r"""
+import os, sys
+os.environ.pop("JAX_PLATFORMS", None)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+sys.path.insert(0, {repo!r})
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from lightctr_tpu import optim
+from lightctr_tpu.models import widedeep
+from lightctr_tpu.parallel.distributed import elastic_restore, initialize_cluster
+from lightctr_tpu.parallel.mesh import make_mesh
+from lightctr_tpu.parallel.sharding import init_sharded_state, make_sharded_train_step
+from lightctr_tpu.train.checkpoint import save_checkpoint_sharded
+
+initialize_cluster(coordinator_address={coord!r}, num_processes=2,
+                   process_id={pid})
+mesh = make_mesh(data=2, model=2)
+cfg = widedeep.WideDeepConfig(n_features=2048, n_fields=8, embed_dim=4,
+                              hidden=(16,))
+tx = optim.adagrad(0.1)
+state = init_sharded_state(widedeep, cfg, tx, mesh, seed=0,
+                           shard_threshold=1024)
+step = make_sharded_train_step(widedeep, cfg, tx, mesh, shard_threshold=1024)
+
+rng = np.random.default_rng(0)
+B, L = 8, 16
+ids = rng.integers(0, 2048, (B, L)).astype(np.int32)
+raw = dict(
+    ids=ids,
+    vals=np.ones((B, L), np.float32),
+    fields=(ids % 8).astype(np.int32),
+    mask=np.ones((B, L), np.float32),
+    labels=rng.integers(0, 2, (B,)).astype(np.float32),
+    row_mask=np.ones((B,), np.float32),
+)
+batch = {{
+    k: jax.make_array_from_callback(
+        v.shape,
+        NamedSharding(mesh, P("data", *([None] * (v.ndim - 1)))),
+        lambda idx, v=v: v[idx],
+    )
+    for k, v in raw.items()
+}}
+
+ckpt = {ckpt!r}
+phase = {phase!r}
+if phase == "B":
+    restored = elastic_restore(ckpt, state)
+    assert restored is not None, "no checkpoint found on rejoin"
+    state = restored
+    for i in range(2):
+        state, loss = step(state, batch)
+        print("CONT_LOSS", i, float(loss))
+else:
+    for i in range(5):
+        state, loss = step(state, batch)
+    print("SAVE_LOSS", float(loss))
+    save_checkpoint_sharded(ckpt, state, {{"model": "widedeep"}})
+    # predict the continuation so phase B can be checked EXACTLY
+    for i in range(2):
+        state, loss = step(state, batch)
+        print("PRED_LOSS", i, float(loss))
+    if {pid} == 1:
+        sys.stdout.flush()
+        os._exit(1)   # simulate a crash: no cleanup, nonzero exit
+print("PHASE_OK", phase, {pid})
+"""
+
+
+def _run_cluster(script_template, repo, tmp_path, **fmt):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    procs = []
+    for pid in range(2):
+        code = script_template.format(repo=repo, coord=coord, pid=pid, **fmt)
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        env["PYTHONPATH"] = repo
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-u", "-c", code],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                env=env, text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    return procs, outs
+
+
+@pytest.mark.slow
+def test_kill_and_restore_continues_exactly(tmp_path):
+    """Sharded-checkpoint elasticity: a 2x2-mesh cluster trains, saves
+    per-process shard files, one worker CRASHES (os._exit, no cleanup);
+    a fresh cluster elastic_restores and its losses must continue the
+    trajectory EXACTLY (state incl. optimizer + rng round-trips)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt = str(tmp_path / "elastic")
+
+    procs, outs = _run_cluster(_TRAIN_WORKER, repo, tmp_path,
+                               ckpt=ckpt, phase="A")
+    # worker 1 crashed by design; the JAX coordinator then declares it
+    # dead and aborts worker 0 at shutdown too (the runtime's equivalent
+    # of the reference's heartbeat eviction) — so exit codes are nonzero;
+    # what matters is that the work and the save completed first.
+    assert procs[1].returncode != 0, outs[1][-2000:]   # the simulated crash
+    assert "PHASE_OK" in outs[0], outs[0][-2000:]
+    predicted = [float(l.split()[2]) for l in outs[0].splitlines()
+                 if l.startswith("PRED_LOSS")]
+    assert len(predicted) == 2
+    assert os.path.exists(ckpt + ".proc0.npz")
+    assert os.path.exists(ckpt + ".proc1.npz")   # crash was AFTER save
+
+    procs, outs = _run_cluster(_TRAIN_WORKER, repo, tmp_path,
+                               ckpt=ckpt, phase="B")
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-2000:]}"
+    continued = [float(l.split()[2]) for l in outs[0].splitlines()
+                 if l.startswith("CONT_LOSS")]
+    assert len(continued) == 2
+    import numpy as np
+
+    np.testing.assert_allclose(continued, predicted, rtol=1e-6)
+
+
 @pytest.mark.slow
 def test_two_process_loopback_cluster(tmp_path):
     with socket.socket() as s:
