@@ -128,6 +128,11 @@ def main(argv=None):
     g.add_argument("--max-depth", type=int, default=6)
     g.add_argument("--n-classes", type=int, default=10)
     g.add_argument("--max-rows", type=int, default=None)
+    g.add_argument("--libffm", action="store_true",
+                   help="sparse libffm input (missing = absent feature, "
+                        "learned default directions) instead of dense CSV")
+    g.add_argument("--n-bins", type=int, default=32)
+    g.add_argument("--test", default=None)
 
     c = sub.add_parser("gmm")
     c.add_argument("--train", required=True)
@@ -340,16 +345,40 @@ def _run_aux_command(args):
             print(msg)
 
     elif args.cmd == "gbm":
-        from .data import load_dense_csv
-        from .models.gbm import GBM, GBMConfig
+        from .models.gbm import GBM, GBMConfig, SparseGBM
 
-        x, y, k = load_dense_csv(args.train, max_rows=args.max_rows)
-        n_classes = max(args.n_classes, k)
-        cfg = GBMConfig(n_rounds=args.rounds, max_depth=args.max_depth,
-                        n_classes=n_classes)
-        model = GBM(cfg).fit(x, y, log=print)
-        acc = (model.predict(x) == y).mean()
-        print(f"final train accuracy: {acc:.4f}")
+        if args.libffm:
+            import json as _json
+
+            from .data import load_libffm
+            from .utils.metrics import accuracy, auc, logloss
+
+            def _metrics(p, labels):
+                return {"auc": float(auc(p, labels)),
+                        "logloss": float(logloss(p, labels)),
+                        "accuracy": float(accuracy(p, labels))}
+
+            ds = load_libffm(args.train)
+            cfg = GBMConfig(n_rounds=args.rounds, max_depth=args.max_depth,
+                            n_bins=args.n_bins, n_classes=2)
+            model = SparseGBM(cfg).fit(ds, ds.labels, log=print)
+            p = model.predict_proba(ds)[:, 1]
+            print("train:", _json.dumps(_metrics(p, ds.labels)))
+            if args.test:
+                test = load_libffm(args.test, n_features=ds.n_features,
+                                   n_fields=ds.n_fields)
+                pt = model.predict_proba(test)[:, 1]
+                print("test:", _json.dumps(_metrics(pt, test.labels)))
+        else:
+            from .data import load_dense_csv
+
+            x, y, k = load_dense_csv(args.train, max_rows=args.max_rows)
+            n_classes = max(args.n_classes, k)
+            cfg = GBMConfig(n_rounds=args.rounds, max_depth=args.max_depth,
+                            n_classes=n_classes)
+            model = GBM(cfg).fit(x, y, log=print)
+            acc = (model.predict(x) == y).mean()
+            print(f"final train accuracy: {acc:.4f}")
 
     elif args.cmd == "gmm":
         from .data.dense import load_cluster_data

@@ -86,6 +86,17 @@ def test_cli_train_mesh(tiny_libffm, capsys):
     assert "epoch 1" in out and "train:" in out
 
 
+def test_cli_gbm_libffm(tiny_libffm, capsys):
+    main(["gbm", "--train", tiny_libffm, "--libffm", "--rounds", "4",
+          "--max-depth", "3", "--n-bins", "8", "--test", tiny_libffm])
+    out = capsys.readouterr().out
+    assert "train:" in out and "test:" in out
+    import json
+
+    m = json.loads(out.split("train:")[1].splitlines()[0])
+    assert m["auc"] > 0.8
+
+
 def test_cli_gbm_dense(tmp_path, capsys):
     rng = np.random.default_rng(1)
     x = rng.normal(size=(120, 10))
