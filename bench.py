@@ -7,11 +7,20 @@ full-batch Adagrad regime, run through the fused Pallas kernel trainer
 (models/fm_kernel.py: blocked one-hot MXU gather/reduce/scatter — see
 ops/fm_fused_pallas.py).
 
+Also reports (extra JSON fields, same single line):
+  step_ms                      headline step time
+  mxu_util_pct                 algorithmic one-hot-matmul FLOPs of the step
+                               over v5e bf16 peak (197 TFLOP/s) — a roofline
+                               honesty number, NOT hardware-counter MFU
+  production_examples_per_sec  streaming regime B=4096, L=64, 10M vocab
+                               (the scale the reference needs its PS
+                               cluster for; PARITY.md production row)
+
 Timing note: this backend's block_until_ready does not await real
-completion, so the loop is chained through the training state and forced
+completion, so loops are chained through the training state and forced
 with a scalar readback of the final loss.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -22,10 +31,12 @@ import numpy as np
 
 
 REFERENCE_FM_EXAMPLES_PER_SEC = 1000 * 1000 / 9.32  # BASELINE.md vs_libfm k=8
+V5E_BF16_PEAK_FLOPS = 197e12
 
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from lightctr_tpu.utils.cache import enable_compilation_cache
 
@@ -33,6 +44,8 @@ def main():
 
     from lightctr_tpu.data import load_libffm
     from lightctr_tpu.models import fm_kernel
+    from lightctr_tpu.ops.embedding_pallas import TILE
+    from lightctr_tpu.ops.fm_fused_pallas import D, S
 
     ds = load_libffm("/root/reference/data/train_sparse.csv")
     batch_size = len(ds)  # full-batch, like the reference (train_fm_algo.cpp:38)
@@ -55,20 +68,55 @@ def main():
     for _ in range(n_steps):
         state, loss = step(state)
     final_loss = float(loss)  # forces the dependent chain to finish
-    dt = time.perf_counter() - t0
+    dt = (time.perf_counter() - t0) / n_steps
 
-    examples_per_sec = n_steps * batch_size / dt
+    examples_per_sec = batch_size / dt
     if not np.isfinite(final_loss) or final_loss > 0.7:
         print(json.dumps({"metric": "fm_examples_per_sec_per_chip", "value": 0.0,
                           "unit": "examples/sec", "vs_baseline": 0.0,
                           "error": f"training diverged (loss={final_loss})"}))
         sys.exit(1)
 
+    # roofline estimate: the step's 4 one-hot matmuls (gather, row-reduce,
+    # duals-gather, scatter) over the sorted layout
+    n = plan.ranks_sorted.shape[0]
+    macs = 2 * n * (2 * TILE * D + plan.b_pad * S)
+    mxu_util = (2 * macs / dt) / V5E_BF16_PEAK_FLOPS * 100
+
+    # production regime: streaming kernel step at PS scale (10M vocab)
+    B, L, vocab = 4096, 64, 10_000_000
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, vocab, (B, L)).astype(np.int64)
+    pvals = np.ones((B, L), np.float32)
+    pmask = np.ones((B, L), np.float32)
+    plabels = rng.integers(0, 2, (B,)).astype(np.float32)
+    pcfg = fm_kernel.KernelFMConfig(
+        n_features=vocab, factor=8, learning_rate=0.05, exact=False
+    )
+    pplan = fm_kernel.plan_batch(ids, pvals, pmask, plabels)
+    capacity = pplan.n_rows_pad
+    pstate = fm_kernel.streaming_init(jax.random.PRNGKey(0), pcfg)
+    pstep = fm_kernel.make_streaming_train_step(pcfg, capacity, pplan.b_pad)
+    arrays = fm_kernel.plan_to_arrays(pplan, capacity)
+    pstate, ploss = pstep(pstate, arrays)
+    float(ploss)
+    n_prod = 100
+    t0 = time.perf_counter()
+    for _ in range(n_prod):
+        pstate, ploss = pstep(pstate, arrays)
+    float(ploss)
+    prod_dt = (time.perf_counter() - t0) / n_prod
+    prod_ex_s = B / prod_dt
+
     print(json.dumps({
         "metric": "fm_examples_per_sec_per_chip",
         "value": round(examples_per_sec, 1),
         "unit": "examples/sec",
         "vs_baseline": round(examples_per_sec / REFERENCE_FM_EXAMPLES_PER_SEC, 3),
+        "step_ms": round(dt * 1e3, 3),
+        "mxu_util_pct": round(mxu_util, 1),
+        "production_examples_per_sec": round(prod_ex_s, 1),
+        "production_step_ms": round(prod_dt * 1e3, 3),
     }))
 
 

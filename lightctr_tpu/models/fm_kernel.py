@@ -54,6 +54,10 @@ class KernelFMConfig:
     # 384k axis costs ~19 log-passes) — kept as an alternative for
     # hardware/shapes where scans are cheap. Default off.
     runops: bool = False
+    # fused=True runs the whole hot path (fwd + loss/duals + bwd +
+    # scatter) as ONE two-phase pallas_call (ops/fm_fused_pallas.py
+    # fm_fused_step) — no e_pos/duals/dwv HBM round-trips, one dispatch.
+    fused: bool = False
 
 
 class KernelFMState(NamedTuple):
@@ -84,13 +88,21 @@ class BatchPlan:
     n_valid_rows: float
 
 
-def plan_batch(ids, vals, mask, labels, row_mask=None, n_rows_pad=None) -> BatchPlan:
-    """Host-side batch planning. ids/vals/mask: [B, L] numpy."""
+def plan_batch(ids, vals, mask, labels, row_mask=None, n_rows_pad=None,
+               trim=None) -> BatchPlan:
+    """Host-side batch planning. ids/vals/mask: [B, L] numpy.
+
+    trim: drop the masked tail of the sorted position arrays (see
+    plan_sorted_layout) — on for one-shot/full-batch plans (27% less
+    kernel work on the bundled data), OFF when n_rows_pad is given
+    (streaming plans must keep batch-independent static shapes)."""
     B, L = ids.shape
+    if trim is None:
+        trim = n_rows_pad is None
     if row_mask is None:
         row_mask = np.ones((B,), np.float32)
     xv = (vals * mask).astype(np.float32)
-    plan = plan_sorted_layout(ids, mask, n_rows_pad)
+    plan = plan_sorted_layout(ids, mask, n_rows_pad, trim=trim)
     perm = plan["perm"]
     rowid_sorted = (perm // L).astype(np.int32)
     # batch padding: lane-aligned
@@ -150,6 +162,42 @@ def make_train_step(cfg: KernelFMConfig, plan: BatchPlan):
         # tunneled backends)
         lr = cfg.learning_rate if hyper is None else hyper[0]
         l2 = cfg.l2 if hyper is None else hyper[1]
+        if cfg.fused:
+            stats, grad_rows = K.fm_fused_step(
+                state.rows, plan.ranks_sorted, plan.rowid_sorted,
+                plan.xv_sorted, plan.tile_base,
+                labels_p, rmask_p / n_valid, state.w0,
+                n_k=n_k, b_pad=b_pad, n_rows=R,
+                interpret=interp, exact=cfg.exact,
+            )
+            loss = jnp.sum(stats[:, K.S - 1])
+            dlogit = stats[:, 0]
+            grad_rows = grad_rows + l2 * state.rows
+            accum = state.accum + grad_rows * grad_rows
+            rows = state.rows - lr * grad_rows / (jnp.sqrt(accum) + 1e-7)
+            if cfg.wide_optimizer == "ftrl":
+                g_w = grad_rows[:, 0:1]
+                w_old = state.rows[:, 0:1]
+                n_new = state.ftrl_n + g_w * g_w
+                sigma = (jnp.sqrt(n_new) - jnp.sqrt(state.ftrl_n)) / cfg.ftrl_alpha
+                z_new = state.ftrl_z + g_w - sigma * w_old
+                w_new = jnp.where(
+                    jnp.abs(z_new) <= cfg.ftrl_lambda1,
+                    0.0,
+                    -(z_new - jnp.sign(z_new) * cfg.ftrl_lambda1)
+                    / ((cfg.ftrl_beta + jnp.sqrt(n_new)) / cfg.ftrl_alpha
+                       + cfg.ftrl_lambda2),
+                )
+                rows = rows.at[:, 0:1].set(w_new)
+                ftrl_z, ftrl_n = z_new, n_new
+            else:
+                ftrl_z, ftrl_n = state.ftrl_z, state.ftrl_n
+            rows = rows.at[R - 1].set(0.0)
+            g0 = jnp.sum(dlogit)
+            w0_accum = state.w0_accum + g0 * g0
+            w0 = state.w0 - lr * g0 / (jnp.sqrt(w0_accum) + 1e-7)
+            return KernelFMState(w0, w0_accum, rows, accum,
+                                 ftrl_z, ftrl_n), loss
         if cfg.runops:
             e_pos = run_broadcast(
                 state.rows, plan.start_pos, jnp.zeros((n, K.D))

@@ -212,15 +212,23 @@ def blocked_scatter_add(
 
 
 def plan_sorted_layout(
-    ids: np.ndarray, valid: np.ndarray, n_rows_pad: int | None = None
+    ids: np.ndarray, valid: np.ndarray, n_rows_pad: int | None = None,
+    trim: bool = True,
 ) -> dict:
     """Plan a batch for the kernels. n_rows_pad (optional): unique-space
     size, multiple of 2*TILE, >= n_unique + TILE (the trailing block stays
     all-padding); sized from the actual unique count when omitted.
 
+    trim=True (default) truncates the sorted position arrays to the valid
+    count (rounded up to TILE): the stable sort pushes every masked slot
+    to the tail, so dropped positions are exactly padding — on the
+    bundled CTR data this removes 27% of all kernel work (rows average
+    282 nonzeros of the L=384 rectangle). Callers needing the full B*L
+    position space (fixed shapes across batches) pass trim=False.
+
     Returns numpy arrays; convert to jnp once and reuse (for fixed batches
     this is free; for a stream, planning is O(n log n) on host — or use
-    ops/unique.unique_fixed on device and sort there).
+    plan_batch_on_device).
     """
     flat = ids.reshape(-1).astype(np.int64)
     v = valid.reshape(-1) > 0
@@ -247,11 +255,18 @@ def plan_sorted_layout(
     pad_rank = n_rows_pad - 1
     ranks_sorted = np.where(sorted_ids == sentinel, pad_rank, ranks).astype(np.int32)
 
+    if trim:
+        n_valid = int(v.sum())
+        n_pos = max(((n_valid + TILE - 1) // TILE) * TILE, TILE)
+        perm = perm[:n_pos]
+        ranks_sorted = ranks_sorted[:n_pos]
+        n = n_pos
+
     tile_base = (ranks_sorted[::TILE] // TILE).astype(np.int32)
     tile_base = np.minimum(tile_base, n_rows_pad // TILE - 2)
 
-    inv = np.empty(n, np.int64)
-    inv[perm] = np.arange(n)
+    inv = np.full(flat.size, -1, np.int64)
+    inv[perm] = np.arange(n)  # dropped (masked) positions stay -1
     return {
         "perm": perm.astype(np.int32),
         "inv": inv.astype(np.int32),

@@ -224,3 +224,237 @@ def fm_backward_positions(rowid_sorted, xv_sorted, e_pos, duals,
         e_pos,
         duals,
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-phase mega-kernel: the ENTIRE FM training step's hot path in ONE
+# pallas_call. Grid (2, n_tiles), phase-major:
+#
+#   phase 0 (per position tile): gather e = onehot(rank) @ window, terms,
+#     rowsum accumulated in a VMEM scratch (never leaves the chip).
+#   phase boundary (first phase-1 step): logits -> per-row loss -> dlogit
+#     -> packed duals, all computed in-kernel from the scratch rowsum
+#     (labels/row-mask are inputs); duals persist in a second scratch.
+#   phase 1 (per position tile): duals_pos = onehot(row) @ duals,
+#     e recomputed from onehot(rank) @ window (cheaper than an HBM
+#     round-trip of e_pos, and the SAME one-hot then drives the scatter),
+#     dwv -> parity-split scatter accumulation (blocked_scatter_add's
+#     even/odd scheme) into the [R, D] gradient.
+#
+# vs the 3-call pipeline (fm_forward + fm_backward_positions +
+# blocked_scatter_add + XLA glue): saves the e_pos/duals/dwv HBM
+# round-trips and two kernel dispatches; the remaining cost is the four
+# one-hot builds (2 per phase), which are the measured floor (PARITY.md).
+#
+# Outputs: stats [b_pad, S] (cols: duals | logit(S-2) | masked loss(S-1)),
+# gradA/gradB parity halves of grad_rows [R, D]. The optimizer stays in
+# XLA (elementwise on [R, 16]; XLA fuses it into one pass).
+
+
+def _mega_kernel(base_ref, ranks_ref, rowid_ref, xv_ref,
+                 rows0_ref, rows1_ref, labels_ref, rmaskn_ref, w0_ref,
+                 stats_ref, outA_ref, outB_ref,
+                 rowsum_sc, duals_sc,
+                 *, n_k: int, b_pad: int, cdt=jnp.bfloat16):
+    phase = pl.program_id(0)
+    t = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+
+    base = base_ref[t]
+    local = ranks_ref[...] - base * TILE                    # [T, 1]
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (TILE, 2 * TILE), 1)
+    onehot_rank = (local == iota_r).astype(cdt)             # [T, 2T]
+    window = jnp.concatenate([rows0_ref[...], rows1_ref[...]], axis=0)
+    e = jax.lax.dot_general(
+        onehot_rank, window,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                       # [T, D]
+    xv = xv_ref[...]                                        # [T, 1]
+    v = e[:, 1:1 + n_k]                                     # [T, K]
+
+    rid = rowid_ref[...]                                    # [T, 1]
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (TILE, b_pad), 1)
+    onehot_row = (rid == iota_b).astype(cdt)                # [T, Bp]
+
+    @pl.when(phase == 0)
+    def _fwd():
+        @pl.when(t == 0)
+        def _():
+            rowsum_sc[...] = jnp.zeros_like(rowsum_sc)
+            # park zeros in the resident output buffers so the flush at
+            # the phase boundary writes zeros, not garbage
+            outA_ref[...] = jnp.zeros_like(outA_ref)
+            outB_ref[...] = jnp.zeros_like(outB_ref)
+            stats_ref[...] = jnp.zeros_like(stats_ref)
+
+        w = e[:, 0:1]
+        wx = w * xv
+        vx = v * xv
+        vx2 = vx * vx
+        pad = jnp.zeros((TILE, S - 1 - 2 * n_k), jnp.float32)
+        terms = jnp.concatenate([wx, vx, vx2, pad], axis=1)  # [T, S]
+        rowsum_sc[...] += jax.lax.dot_general(
+            onehot_row, terms.astype(cdt),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(phase == 1)
+    def _bwd():
+        @pl.when(t == 0)
+        def _boundary():
+            rowsum = rowsum_sc[...]                          # [Bp, S]
+            wx = rowsum[:, 0:1]
+            s = rowsum[:, 1:1 + n_k]
+            ss = rowsum[:, 1 + n_k:1 + 2 * n_k]
+            z = w0_ref[0, 0] + wx + 0.5 * jnp.sum(
+                s * s - ss, axis=-1, keepdims=True)          # [Bp, 1]
+            y = labels_ref[...]                              # [Bp, 1]
+            rmn = rmaskn_ref[...]                            # [Bp, 1] mask/n
+            per = (jnp.maximum(z, 0) - z * y
+                   + jnp.log1p(jnp.exp(-jnp.abs(z)))) * rmn
+            dlogit = (jax.nn.sigmoid(z) - y) * rmn           # [Bp, 1]
+            # static-slice construction (Mosaic has no dynamic_update_slice)
+            mid_pad = jnp.zeros((b_pad, S - 3 - 2 * n_k), jnp.float32)
+            parts = [dlogit, dlogit * s,
+                     jnp.broadcast_to(dlogit, (b_pad, n_k))]
+            duals_sc[...] = jnp.concatenate(
+                parts + [mid_pad, jnp.zeros((b_pad, 2), jnp.float32)], axis=1)
+            stats_ref[...] = jnp.concatenate(
+                parts + [mid_pad, z, per], axis=1)
+
+        duals_pos = jax.lax.dot_general(
+            onehot_row, duals_sc[...].astype(cdt),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                    # [T, S]
+        dlogit_p = duals_pos[:, 0:1]
+        a = duals_pos[:, 1:1 + n_k]
+        b = duals_pos[:, 1 + n_k:1 + 2 * n_k]
+        dw = dlogit_p * xv
+        dv = (a - b * v * xv) * xv
+        pad = jnp.zeros((TILE, D - 1 - n_k), jnp.float32)
+        dwv = jnp.concatenate([dw, dv, pad], axis=1)         # [T, D]
+
+        # parity-split scatter (see _scatter_kernel)
+        par = base % 2
+        b_even = base + par
+        b_odd = base + 1 - par
+        prev = base_ref[jnp.maximum(t - 1, 0)]
+        prev_even = prev + (prev % 2)
+        prev_odd = prev + 1 - (prev % 2)
+
+        contrib = jax.lax.dot_general(
+            onehot_rank, dwv.astype(cdt),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                    # [2T, D]
+        lowers = contrib[:TILE]
+        uppers = contrib[TILE:]
+        is_even = (par == 0)
+        newA = jnp.where(is_even, lowers, uppers)
+        newB = jnp.where(is_even, uppers, lowers)
+
+        @pl.when((t == 0) | (b_even != prev_even))
+        def _():
+            outA_ref[...] = jnp.zeros_like(outA_ref)
+
+        @pl.when((t == 0) | (b_odd != prev_odd))
+        def _():
+            outB_ref[...] = jnp.zeros_like(outB_ref)
+
+        outA_ref[...] += newA
+        outB_ref[...] += newB
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_k", "b_pad", "n_rows", "interpret", "exact"),
+)
+def fm_fused_step(rows, ranks_sorted, rowid_sorted, xv_sorted, tile_base,
+                  labels_p, rmask_norm, w0,
+                  n_k: int, b_pad: int, n_rows: int,
+                  interpret: bool = False, exact: bool = False):
+    """One-call fused FM step hot path.
+
+    rows [R, D]; sorted-layout batch arrays as in fm_forward; labels_p
+    [b_pad], rmask_norm [b_pad] = row_mask / n_valid; w0 scalar.
+    Returns (stats [b_pad, S], grad_rows [R, D]):
+      stats cols: 0 dlogit | 1..K a | 1+K..2K b | S-2 logits | S-1 masked
+      per-row losses (sum = batch loss; sum of col 0 = w0 grad).
+    """
+    n = ranks_sorted.shape[0]
+    n_tiles = n // TILE
+    n_blocks = n_rows // TILE
+    assert n_blocks % 2 == 0
+    cdt = jnp.float32 if exact else jnp.bfloat16
+    rows16 = rows.astype(cdt)
+
+    # scatter outputs pin to block 0 through phase 0 (buffer holds the
+    # parked zeros; first index change flushes them harmlessly to block 0)
+    def a_map(p, t, base):
+        b = base[t]
+        return (jnp.where(p == 1, (b + b % 2) // 2, 0), 0)
+
+    def b_map(p, t, base):
+        b = base[t]
+        return (jnp.where(p == 1, (b + 1 - b % 2 - 1) // 2, 0), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(2, n_tiles),
+        in_specs=[
+            pl.BlockSpec((TILE, 1), lambda p, t, base: (t, 0)),
+            pl.BlockSpec((TILE, 1), lambda p, t, base: (t, 0)),
+            pl.BlockSpec((TILE, 1), lambda p, t, base: (t, 0)),
+            pl.BlockSpec((TILE, D), lambda p, t, base: (base[t], 0)),
+            pl.BlockSpec((TILE, D), lambda p, t, base: (base[t] + 1, 0)),
+            pl.BlockSpec((b_pad, 1), lambda p, t, base: (0, 0)),
+            pl.BlockSpec((b_pad, 1), lambda p, t, base: (0, 0)),
+            pl.BlockSpec((1, 1), lambda p, t, base: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((b_pad, S), lambda p, t, base: (0, 0)),
+            pl.BlockSpec((TILE, D), a_map),
+            pl.BlockSpec((TILE, D), b_map),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b_pad, S), jnp.float32),
+            pltpu.VMEM((b_pad, S), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_mega_kernel, n_k=n_k, b_pad=b_pad, cdt=cdt)
+    stats, outA, outB = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b_pad, S), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows // 2, D), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows // 2, D), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        tile_base,
+        ranks_sorted.reshape(n, 1),
+        rowid_sorted.reshape(n, 1),
+        xv_sorted.astype(jnp.float32).reshape(n, 1),
+        rows16,
+        rows16,
+        labels_p.astype(jnp.float32).reshape(b_pad, 1),
+        rmask_norm.astype(jnp.float32).reshape(b_pad, 1),
+        w0.astype(jnp.float32).reshape(1, 1),
+    )
+
+    half = n_blocks // 2
+    blocks_a = (tile_base + tile_base % 2) // 2
+    blocks_b = (tile_base + 1 - tile_base % 2 - 1) // 2
+    touched_a = jnp.zeros((half,), jnp.bool_).at[blocks_a].set(True)
+    touched_b = jnp.zeros((half,), jnp.bool_).at[blocks_b].set(True)
+    outA = jnp.where(touched_a[:, None, None],
+                     outA.reshape(half, TILE, D), 0.0)
+    outB = jnp.where(touched_b[:, None, None],
+                     outB.reshape(half, TILE, D), 0.0)
+    grad_rows = jnp.stack([outA, outB], axis=1).reshape(n_rows, D)
+    return stats, grad_rows

@@ -70,6 +70,56 @@ def test_kernel_fm_matches_dense_fm():
     assert kernel_losses[-1] < kernel_losses[0]
 
 
+def test_mega_kernel_matches_staged_path():
+    """fused=True (one two-phase pallas_call) must reproduce the staged
+    3-kernel path exactly in fp32-exact mode: same losses, same weights."""
+    ids, vals, mask, labels = _toy_batch(seed=11)
+    V, KF = 300, 4
+    cfg_s = fm_kernel.KernelFMConfig(
+        n_features=V, factor=KF, learning_rate=0.05, l2=1e-3,
+        interpret=True, exact=True,
+    )
+    cfg_f = fm_kernel.KernelFMConfig(
+        n_features=V, factor=KF, learning_rate=0.05, l2=1e-3,
+        interpret=True, exact=True, fused=True,
+    )
+    plan = fm_kernel.plan_batch(ids, vals, mask, labels)
+    st_s = fm_kernel.init(jax.random.PRNGKey(0), cfg_s, plan)
+    st_f = fm_kernel.init(jax.random.PRNGKey(0), cfg_f, plan)
+    step_s = fm_kernel.make_train_step(cfg_s, plan)
+    step_f = fm_kernel.make_train_step(cfg_f, plan)
+    for i in range(5):
+        st_s, ls = step_s(st_s)
+        st_f, lf = step_f(st_f)
+        np.testing.assert_allclose(float(lf), float(ls), rtol=1e-6,
+                                   err_msg=f"step {i}")
+    np.testing.assert_allclose(
+        np.asarray(st_f.rows), np.asarray(st_s.rows), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(float(st_f.w0), float(st_s.w0), rtol=1e-5)
+
+
+def test_mega_kernel_ftrl_wide():
+    ids, vals, mask, labels = _toy_batch(seed=13)
+    plan = fm_kernel.plan_batch(ids, vals, mask, labels)
+    for fused in (False, True):
+        cfg = fm_kernel.KernelFMConfig(
+            n_features=300, factor=4, learning_rate=0.1, interpret=True,
+            exact=True, fused=fused, wide_optimizer="ftrl",
+            ftrl_alpha=0.1, ftrl_lambda1=5.0,
+        )
+        st = fm_kernel.init(jax.random.PRNGKey(0), cfg, plan)
+        step = fm_kernel.make_train_step(cfg, plan)
+        for _ in range(8):
+            st, _ = step(st)
+        if fused:
+            w_f = np.asarray(st.rows[: plan.n_unique, 0])
+        else:
+            w_s = np.asarray(st.rows[: plan.n_unique, 0])
+    np.testing.assert_allclose(w_f, w_s, rtol=1e-5, atol=1e-7)
+    assert (w_f == 0.0).mean() > 0.5
+
+
 def test_kernel_fm_export_roundtrip():
     ids, vals, mask, labels = _toy_batch(seed=3)
     V, KF = 300, 4
