@@ -4,17 +4,22 @@ Mirrors the reference's headline benchmark (BASELINE.md: LightCTR trains FM
 k=8 for 1000 full-batch epochs over the 1000-row train_sparse.csv in 9.32 s
 on an AVX CPU => ~107,296 examples/sec). Same data, same model size, same
 full-batch Adagrad regime, run through the fused Pallas kernel trainer
-(models/fm_kernel.py: blocked one-hot MXU gather/reduce/scatter — see
-ops/fm_fused_pallas.py).
+(models/fm_kernel.py: blocked one-hot MXU gather/reduce/scatter over the
+position-trimmed sorted layout — see ops/fm_fused_pallas.py).
 
-Also reports (extra JSON fields, same single line):
+Extra fields on the same single JSON line:
   step_ms                      headline step time
   mxu_util_pct                 algorithmic one-hot-matmul FLOPs of the step
                                over v5e bf16 peak (197 TFLOP/s) — a roofline
                                honesty number, NOT hardware-counter MFU
   production_examples_per_sec  streaming regime B=4096, L=64, 10M vocab
                                (the scale the reference needs its PS
-                               cluster for; PARITY.md production row)
+                               cluster for). Measured in a BOUNDED
+                               subprocess BEFORE the headline claims the
+                               TPU: cold Mosaic compiles over the tunnel
+                               can take many minutes, and a hung compile
+                               must never suppress the primary metric
+                               (fields are null when skipped).
 
 Timing note: this backend's block_until_ready does not await real
 completion, so loops are chained through the training state and forced
@@ -24,6 +29,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -32,11 +39,64 @@ import numpy as np
 
 REFERENCE_FM_EXAMPLES_PER_SEC = 1000 * 1000 / 9.32  # BASELINE.md vs_libfm k=8
 V5E_BF16_PEAK_FLOPS = 197e12
+PRODUCTION_TIMEOUT_S = int(os.environ.get("BENCH_PRODUCTION_TIMEOUT", "1500"))
+
+
+def production_main():
+    """Streaming kernel FM at PS scale (B=4096, L=64, 10M vocab)."""
+    import jax
+
+    from lightctr_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from lightctr_tpu.models import fm_kernel
+
+    B, L, vocab = 4096, 64, 10_000_000
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, vocab, (B, L)).astype(np.int64)
+    ones = np.ones((B, L), np.float32)
+    labels = rng.integers(0, 2, (B,)).astype(np.float32)
+    cfg = fm_kernel.KernelFMConfig(
+        n_features=vocab, factor=8, learning_rate=0.05, exact=False
+    )
+    plan = fm_kernel.plan_batch(ids, ones, ones, labels)
+    capacity = plan.n_rows_pad
+    state = fm_kernel.streaming_init(jax.random.PRNGKey(0), cfg)
+    step = fm_kernel.make_streaming_train_step(cfg, capacity, plan.b_pad)
+    arrays = fm_kernel.plan_to_arrays(plan, capacity)
+    state, loss = step(state, arrays)
+    float(loss)
+    n = 100
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, loss = step(state, arrays)
+    float(loss)
+    dt = (time.perf_counter() - t0) / n
+    print(json.dumps({"production_examples_per_sec": round(B / dt, 1),
+                      "production_step_ms": round(dt * 1e3, 3)}))
+
+
+def run_production_subprocess():
+    try:
+        out = subprocess.run(
+            [sys.executable, "-u", os.path.abspath(__file__), "--production"],
+            capture_output=True, text=True, timeout=PRODUCTION_TIMEOUT_S,
+            env=os.environ,
+        )
+        for line in reversed(out.stdout.splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+    except (subprocess.TimeoutExpired, json.JSONDecodeError, OSError):
+        pass
+    return {"production_examples_per_sec": None, "production_step_ms": None}
 
 
 def main():
+    prod = run_production_subprocess()
+
     import jax
-    import jax.numpy as jnp
 
     from lightctr_tpu.utils.cache import enable_compilation_cache
 
@@ -78,35 +138,10 @@ def main():
         sys.exit(1)
 
     # roofline estimate: the step's 4 one-hot matmuls (gather, row-reduce,
-    # duals-gather, scatter) over the sorted layout
+    # duals-gather, scatter) over the trimmed sorted layout
     n = plan.ranks_sorted.shape[0]
     macs = 2 * n * (2 * TILE * D + plan.b_pad * S)
     mxu_util = (2 * macs / dt) / V5E_BF16_PEAK_FLOPS * 100
-
-    # production regime: streaming kernel step at PS scale (10M vocab)
-    B, L, vocab = 4096, 64, 10_000_000
-    rng = np.random.default_rng(0)
-    ids = rng.integers(0, vocab, (B, L)).astype(np.int64)
-    pvals = np.ones((B, L), np.float32)
-    pmask = np.ones((B, L), np.float32)
-    plabels = rng.integers(0, 2, (B,)).astype(np.float32)
-    pcfg = fm_kernel.KernelFMConfig(
-        n_features=vocab, factor=8, learning_rate=0.05, exact=False
-    )
-    pplan = fm_kernel.plan_batch(ids, pvals, pmask, plabels)
-    capacity = pplan.n_rows_pad
-    pstate = fm_kernel.streaming_init(jax.random.PRNGKey(0), pcfg)
-    pstep = fm_kernel.make_streaming_train_step(pcfg, capacity, pplan.b_pad)
-    arrays = fm_kernel.plan_to_arrays(pplan, capacity)
-    pstate, ploss = pstep(pstate, arrays)
-    float(ploss)
-    n_prod = 100
-    t0 = time.perf_counter()
-    for _ in range(n_prod):
-        pstate, ploss = pstep(pstate, arrays)
-    float(ploss)
-    prod_dt = (time.perf_counter() - t0) / n_prod
-    prod_ex_s = B / prod_dt
 
     print(json.dumps({
         "metric": "fm_examples_per_sec_per_chip",
@@ -115,10 +150,12 @@ def main():
         "vs_baseline": round(examples_per_sec / REFERENCE_FM_EXAMPLES_PER_SEC, 3),
         "step_ms": round(dt * 1e3, 3),
         "mxu_util_pct": round(mxu_util, 1),
-        "production_examples_per_sec": round(prod_ex_s, 1),
-        "production_step_ms": round(prod_dt * 1e3, 3),
+        **prod,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if "--production" in sys.argv:
+        production_main()
+    else:
+        main()

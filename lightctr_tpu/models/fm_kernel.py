@@ -384,9 +384,11 @@ def make_streaming_train_step(cfg: KernelFMConfig, capacity: int, b_pad: int):
     return step
 
 
-@functools.partial(jax.jit, static_argnames=("capacity", "b_pad"))
+@functools.partial(jax.jit,
+                   static_argnames=("capacity", "b_pad", "n_pad_multiple"))
 def plan_batch_on_device(ids, vals, mask, labels, row_mask,
-                         capacity: int, b_pad: int) -> dict:
+                         capacity: int, b_pad: int,
+                         n_pad_multiple: int | None = None) -> dict:
     """DEVICE-side batch planning for the streaming kernel step: one
     argsort + cumsum dedup + tile-window extraction, entirely under jit —
     no host numpy in the per-batch path. Replaces plan_batch's host
@@ -396,13 +398,18 @@ def plan_batch_on_device(ids, vals, mask, labels, row_mask,
     ids/vals/mask: [B, L] device arrays; labels/row_mask: [B].
     capacity: static unique-rank space (multiple of 2*TILE, > max uniques
     per batch); b_pad: static lane-aligned batch padding (>= B).
+    n_pad_multiple: pad the position space to this multiple (default TILE;
+    the data-sharded step needs n_data * TILE so each data shard gets an
+    equal whole number of tiles).
     Returns the dict make_streaming_train_step consumes.
     """
     from ..ops.embedding_pallas import TILE
 
     B, L = ids.shape
     n = B * L
-    n_pad = (n + TILE - 1) // TILE * TILE
+    mult = TILE if n_pad_multiple is None else n_pad_multiple
+    assert mult % TILE == 0, f"n_pad_multiple {mult} must be a multiple of {TILE}"
+    n_pad = (n + mult - 1) // mult * mult
     flat = ids.reshape(-1).astype(jnp.int32)
     valid = mask.reshape(-1) > 0
     sentinel = jnp.int32(2**31 - 1)

@@ -158,3 +158,155 @@ def make_sharded_streaming_step(cfg: KernelFMConfig, capacity: int,
         return StreamingFMState(w0, w0_accum, table, accum), loss
 
     return step
+
+
+def shard_plan(b: dict, mesh: Mesh) -> dict:
+    """Pre-place a plan dict for the 2D step: position-space arrays
+    sharded over `data`, everything else replicated. Optional — the jitted
+    step reshards automatically — but placing on the prefetch thread keeps
+    the reshard off the step's critical path."""
+    data_sh = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    pos_keys = ("ranks_sorted", "rowid_sorted", "xv_sorted", "tile_base")
+    return {
+        k: jax.device_put(v, data_sh if k in pos_keys else rep)
+        for k, v in b.items()
+    }
+
+
+def make_dp_sharded_streaming_step(cfg: KernelFMConfig, capacity: int,
+                                   b_pad: int, mesh: Mesh):
+    """2-D (data x model) twin of make_sharded_streaming_step: the vocab
+    table stays row-sharded over `model` (the PS shards), and the POSITION
+    space — where the fused kernels' compute lives, one one-hot MXU matmul
+    per TILE window — is sharded over `data` (the Ring-AllReduce-worker
+    analogue, /root/reference/LightCTR/distribut/ring_collect.h:48-72).
+
+    The plan is global (one dedup over the whole global batch => one shared
+    rank space), each data shard runs the kernels over its contiguous slice
+    of the sorted position layout, and two rank-space psums glue it back:
+
+      pull:    psum_model(owned rows)          [R, D]   (as in 1-D)
+      forward: psum_data(partial rowsums)      [b_pad, S]
+      push:    psum_data(partial rank grads)   [R, D], then owned-row
+               Adagrad per model shard (server-side update, state
+               co-located — paramserver.h:287-300)
+
+    All collectives are batch/rank-space sized — vocab-scale traffic never
+    crosses the mesh. Positions must divide evenly: build plans with
+    plan_batch_on_device(..., n_pad_multiple=mesh.shape["data"] * TILE).
+    Losses match the single-device streaming step to fp32 tolerance
+    (tests/test_sharded_kernel.py)."""
+    from ..ops.embedding_pallas import TILE
+
+    n_k = cfg.factor
+    R = capacity
+    interp = cfg.interpret
+    M = mesh.shape["model"]
+    Dd = mesh.shape["data"]
+    V = cfg.n_features
+    assert V % M == 0, (
+        f"vocab {V} not divisible by model axis {M}; round with "
+        f"parallel.sharding.round_up_vocab(n, {M})"
+    )
+    rows_per_shard = V // M
+
+    def local_step(table_l, accum_l, w0, w0_accum, b, hyper):
+        lr, l2 = hyper[0], hyper[1]
+        uids = b["uids"]                        # [R] global ids, replicated
+        n_unique = b["n_unique"]
+
+        # ---- pull: assemble replicated rank rows from the owning shards
+        shard = jax.lax.axis_index("model")
+        offset = shard * rows_per_shard
+        local = uids - offset
+        in_range = (local >= 0) & (local < rows_per_shard)
+        safe = jnp.clip(local, 0, rows_per_shard - 1)
+        rows = jnp.where(in_range[:, None], table_l[safe], 0.0)
+        rows = jax.lax.psum(rows, "model")      # [R, D] replicated
+        rows = rows.at[R - 1].set(0.0)
+
+        # ---- forward over this shard's position slice; psum the partial
+        # per-row sums (each position contributes to exactly one row)
+        rowsum, e_pos = K.fm_forward(
+            rows, b["ranks_sorted"], b["rowid_sorted"], b["xv_sorted"],
+            b["tile_base"], n_k=n_k, b_pad=b_pad, interpret=interp,
+            exact=cfg.exact,
+        )
+        rowsum = jax.lax.psum(rowsum, "data")   # [b_pad, S] replicated
+        wx = rowsum[:, 0]
+        s = rowsum[:, 1 : 1 + n_k]
+        ss = rowsum[:, 1 + n_k : 1 + 2 * n_k]
+        z = w0 + wx + 0.5 * jnp.sum(s * s - ss, axis=-1)
+        labels_p = b["labels_padded"]
+        rmask_p = b["row_mask_padded"]
+        n_valid = jnp.maximum(jnp.sum(rmask_p), 1.0)
+        per = jnp.maximum(z, 0) - z * labels_p + jnp.log1p(jnp.exp(-jnp.abs(z)))
+        loss = jnp.sum(per * rmask_p) / n_valid
+        dlogit = (jax.nn.sigmoid(z) - labels_p) * rmask_p / n_valid
+
+        duals = jnp.zeros((b_pad, K.S))
+        duals = duals.at[:, 0].set(dlogit)
+        duals = duals.at[:, 1 : 1 + n_k].set(dlogit[:, None] * s)
+        duals = duals.at[:, 1 + n_k : 1 + 2 * n_k].set(
+            jnp.broadcast_to(dlogit[:, None], (b_pad, n_k))
+        )
+        dwv_pos = K.fm_backward_positions(
+            b["rowid_sorted"], b["xv_sorted"], e_pos, duals,
+            n_k=n_k, b_pad=b_pad, interpret=interp, exact=cfg.exact,
+        )
+        grad_rows = blocked_scatter_add(
+            dwv_pos, b["ranks_sorted"], b["tile_base"],
+            n_rows=R, interpret=interp, exact=cfg.exact,
+        )
+        grad_rows = jax.lax.psum(grad_rows, "data")   # [R, D] replicated
+        grad_rows = grad_rows + l2 * rows
+
+        # ---- push: server-side Adagrad on owned rows only
+        pos = jnp.arange(R)
+        m = (pos < n_unique).astype(jnp.float32)[:, None]
+        g = grad_rows * m
+        acc_rows = jnp.where(in_range[:, None], accum_l[safe], 0.0) + g * g
+        upd = lr * g / (jnp.sqrt(acc_rows) + 1e-7)
+        own = in_range & (pos < n_unique)
+        scatter_idx = jnp.where(own, safe, rows_per_shard)
+        accum_l = accum_l.at[scatter_idx].set(acc_rows, mode="drop")
+        table_l = table_l.at[scatter_idx].add(-upd, mode="drop")
+
+        g0 = jnp.sum(dlogit)
+        w0_accum = w0_accum + g0 * g0
+        w0 = w0 - lr * g0 / (jnp.sqrt(w0_accum) + 1e-7)
+        return table_l, accum_l, w0, w0_accum, loss
+
+    table_spec = P("model", None)
+    rep = P()
+    pos_spec = P("data")
+    batch_specs = {
+        "uids": rep, "n_unique": rep, "ranks_sorted": pos_spec,
+        "rowid_sorted": pos_spec, "xv_sorted": pos_spec,
+        "tile_base": pos_spec, "labels_padded": rep, "row_mask_padded": rep,
+    }
+    mapped = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(table_spec, table_spec, rep, rep, batch_specs, rep),
+        out_specs=(table_spec, table_spec, rep, rep, rep),
+        check_rep=False,
+    )
+
+    default_hyper = jnp.asarray([cfg.learning_rate, cfg.l2], jnp.float32)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: StreamingFMState, b: dict, hyper=None):
+        n = b["ranks_sorted"].shape[0]
+        assert n % (Dd * TILE) == 0, (
+            f"{n} positions not divisible by data axis {Dd} x TILE {TILE}; "
+            f"plan with n_pad_multiple={Dd * TILE}"
+        )
+        h = default_hyper if hyper is None else hyper
+        table, accum, w0, w0_accum, loss = mapped(
+            state.table, state.accum, state.w0, state.w0_accum, b, h,
+        )
+        return StreamingFMState(w0, w0_accum, table, accum), loss
+
+    return step

@@ -11,7 +11,9 @@ from lightctr_tpu.models import fm_kernel
 from lightctr_tpu.ops.embedding_pallas import TILE
 from lightctr_tpu.parallel.mesh import make_mesh
 from lightctr_tpu.parallel.sharded_kernel import (
+    make_dp_sharded_streaming_step,
     make_sharded_streaming_step,
+    shard_plan,
     shard_streaming_state,
 )
 
@@ -60,6 +62,82 @@ def test_sharded_streaming_matches_single_device(sparse_small):
     np.testing.assert_allclose(t8, t1, rtol=1e-4, atol=1e-6)
     # and training actually changed the table
     assert np.abs(t1 - table0).max() > 1e-3
+
+
+def test_dp_sharded_streaming_matches_single_device(sparse_small):
+    """2-D (data x model) position-sharded step == single-device streaming
+    trajectory: one global rank space, partial rowsum/grad psums over
+    `data`, owned-row Adagrad over `model`."""
+    ds = sparse_small
+    V, B, capacity, b_pad = 1024, 128, 4 * TILE, 128
+    cfg = fm_kernel.KernelFMConfig(
+        n_features=V, factor=4, learning_rate=0.25, l2=1e-4,
+        interpret=True, exact=True,
+    )
+
+    state_1 = fm_kernel.streaming_init(jax.random.PRNGKey(0), cfg)
+    step_1 = fm_kernel.make_streaming_train_step(cfg, capacity, b_pad)
+
+    mesh = make_mesh(data=2, model=4)
+    state_m = shard_streaming_state(
+        fm_kernel.streaming_init(jax.random.PRNGKey(0), cfg), mesh
+    )
+    step_m = make_dp_sharded_streaming_step(cfg, capacity, b_pad, mesh)
+
+    losses_1, losses_m = [], []
+    for epoch in range(3):
+        for b in sparse_batches(ds, B):
+            arrays = fm_kernel.plan_batch_on_device(
+                jnp.asarray(b["ids"], jnp.int32), jnp.asarray(b["vals"]),
+                jnp.asarray(b["mask"]), jnp.asarray(b["labels"]),
+                jnp.asarray(b["row_mask"]), capacity=capacity, b_pad=b_pad,
+                n_pad_multiple=mesh.shape["data"] * TILE,
+            )
+            state_1, l1 = step_1(state_1, arrays)
+            state_m, lm = step_m(state_m, shard_plan(arrays, mesh))
+            losses_1.append(float(l1))
+            losses_m.append(float(lm))
+
+    # First step is bitwise-fresh state, so it must match tightly; later
+    # steps accumulate fp32 reduction-order drift (the data-axis psum sums
+    # partial rowsums/grads in a different order than the single-device
+    # scatter) which Adagrad's sqrt amplifies chaotically — hence the
+    # looser trajectory tolerance. Per-step numerics are pinned at 1e-5 by
+    # test_dp_sharded_streaming_data_major_mesh.
+    np.testing.assert_allclose(losses_m[0], losses_1[0], rtol=1e-6)
+    np.testing.assert_allclose(losses_m, losses_1, rtol=1e-3)
+    assert losses_m[-1] < 0.7 * losses_m[0]
+    t1 = np.asarray(state_1.table)
+    tm = np.asarray(jax.device_get(state_m.table))
+    np.testing.assert_allclose(tm, t1, rtol=5e-3, atol=1e-4)
+
+
+def test_dp_sharded_streaming_data_major_mesh(sparse_small):
+    """data=4 x model=2: one step runs and the loss matches 1-device."""
+    ds = sparse_small
+    V, B, capacity, b_pad = 1024, 128, 4 * TILE, 128
+    cfg = fm_kernel.KernelFMConfig(
+        n_features=V, factor=4, learning_rate=0.25, interpret=True, exact=True,
+    )
+    mesh = make_mesh(data=4, model=2)
+    b0 = next(iter(sparse_batches(ds, B)))
+    arrays = fm_kernel.plan_batch_on_device(
+        jnp.asarray(b0["ids"], jnp.int32), jnp.asarray(b0["vals"]),
+        jnp.asarray(b0["mask"]), jnp.asarray(b0["labels"]),
+        jnp.asarray(b0["row_mask"]), capacity=capacity, b_pad=b_pad,
+        n_pad_multiple=mesh.shape["data"] * TILE,
+    )
+    state_1 = fm_kernel.streaming_init(jax.random.PRNGKey(0), cfg)
+    _, l1 = fm_kernel.make_streaming_train_step(cfg, capacity, b_pad)(
+        state_1, arrays
+    )
+    state_m = shard_streaming_state(
+        fm_kernel.streaming_init(jax.random.PRNGKey(0), cfg), mesh
+    )
+    _, lm = make_dp_sharded_streaming_step(cfg, capacity, b_pad, mesh)(
+        state_m, arrays
+    )
+    np.testing.assert_allclose(float(lm), float(l1), rtol=1e-5)
 
 
 def test_sharded_streaming_uses_all_shards(sparse_small):
