@@ -62,8 +62,12 @@ def production_main():
     )
     plan = fm_kernel.plan_batch(ids, ones, ones, labels)
     capacity = plan.n_rows_pad
-    state = fm_kernel.streaming_init(jax.random.PRNGKey(0), cfg)
-    step = fm_kernel.make_streaming_train_step(cfg, capacity, plan.b_pad)
+    # packed [V, 32] master layout: ONE row-gather + ONE row-scatter per
+    # step (XLA gather/scatter at vocab scale is per-row bound —
+    # benchmarks/bench_gather_cost.py)
+    state = fm_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg)
+    step = fm_kernel.make_streaming_train_step_packed(
+        cfg, capacity, plan.b_pad)
     arrays = fm_kernel.plan_to_arrays(plan, capacity)
     state, loss = step(state, arrays)
     float(loss)

@@ -24,6 +24,7 @@ train_fm_algo.cpp:38) with one compiled step reused every epoch.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple
 
 import numpy as np
@@ -131,17 +132,18 @@ def init(rng: jax.Array, cfg: KernelFFMConfig, plan: FFMBatchPlan) -> KernelFFMS
     )
 
 
-def _logits_from_table(table, w0, plan: FFMBatchPlan, cfg: KernelFFMConfig,
-                       onehot_f, weighted):
-    """Field-aggregation FFM forward (same math as
-    ops/interactions.ffm_interaction, which is the tested ground truth)."""
-    B, L = plan.xv.shape
+def _logits_from_rank_rows(table, w0, ranks, xv, cfg: KernelFFMConfig,
+                           onehot_f, weighted):
+    """Field-aggregation FFM forward over an [R, Dw] rank-space table
+    (same math as ops/interactions.ffm_interaction, the tested ground
+    truth). ranks: [n_pad] row-major position->rank; xv: [B, L]."""
+    B, L = xv.shape
     F, Kf, Dw = cfg.n_fields, cfg.factor, cfg.row_width
-    e = rank_lookup(table, plan.ranks, cfg.interpret, cfg.exact)  # [n_pad, Dw]
+    e = rank_lookup(table, ranks, cfg.interpret, cfg.exact)  # [n_pad, Dw]
     e = e[: B * L].reshape(B, L, Dw)
     w_pos = e[..., 0]                                       # [B, L]
     V = e[..., 1 : 1 + F * Kf].reshape(B, L, F, Kf)         # [B, L, F, K]
-    wx = jnp.sum(w_pos * plan.xv, axis=-1)
+    wx = jnp.sum(w_pos * xv, axis=-1)
     # glue einsums ride the MXU; in fast mode stream them in bf16 with f32
     # accumulation (halves the [B,L,F,K] HBM traffic, the glue bottleneck)
     cdt = jnp.float32 if cfg.exact else jnp.bfloat16
@@ -153,9 +155,14 @@ def _logits_from_table(table, w0, plan: FFMBatchPlan, cfg: KernelFFMConfig,
                        preferred_element_type=jnp.float32)
     v_own = jnp.einsum("blf,blfk->blk", onehot_f.astype(cdt), Vc,
                        preferred_element_type=jnp.float32)  # [B, L, K]
-    self_t = jnp.sum(jnp.sum(v_own * v_own, axis=-1) * plan.xv * plan.xv,
-                     axis=-1)
+    self_t = jnp.sum(jnp.sum(v_own * v_own, axis=-1) * xv * xv, axis=-1)
     return w0 + wx + 0.5 * (total - self_t)
+
+
+def _logits_from_table(table, w0, plan: FFMBatchPlan, cfg: KernelFFMConfig,
+                       onehot_f, weighted):
+    return _logits_from_rank_rows(table, w0, plan.ranks, plan.xv, cfg,
+                                  onehot_f, weighted)
 
 
 def make_train_step(cfg: KernelFFMConfig, plan: FFMBatchPlan):
@@ -188,6 +195,117 @@ def make_train_step(cfg: KernelFFMConfig, plan: FFMBatchPlan):
         return KernelFFMState(w0, w0_accum, table, accum), loss
 
     return step
+
+
+class StreamingFFMState(NamedTuple):
+    """Master tables in VOCAB space [V, Dw] — the PS-scale FFM deployment
+    (the reference's FFM under paramserver.h needs its cluster to hold
+    V * (1 + F*K) floats; here one chip streams against the HBM-resident
+    master, and parallel/sharded_kernel shards it over `model`)."""
+
+    w0: jax.Array
+    w0_accum: jax.Array
+    table: jax.Array   # [V, Dw] packed [w | V(F*K) | pad]
+    accum: jax.Array   # [V, Dw] adagrad accumulator
+
+
+def streaming_init(rng: jax.Array, cfg: KernelFFMConfig) -> StreamingFFMState:
+    V, Dw = cfg.n_features, cfg.row_width
+    fk = cfg.n_fields * cfg.factor
+    table = jnp.zeros((V, Dw))
+    table = table.at[:, 1 : 1 + fk].set(
+        jax.random.normal(rng, (V, fk)) * cfg.init_std
+    )
+    return StreamingFFMState(
+        w0=jnp.zeros(()),
+        w0_accum=jnp.zeros(()),
+        table=table,
+        accum=jnp.zeros((V, Dw)),
+    )
+
+
+def plan_to_arrays(plan: FFMBatchPlan, capacity: int) -> dict:
+    """Per-batch runtime arrays for make_streaming_train_step. Build the
+    plan with n_rows_pad=capacity so shapes stay stable across batches."""
+    assert plan.n_rows_pad == capacity, (
+        f"plan built with R={plan.n_rows_pad}, step expects {capacity}"
+    )
+    return {
+        "uids": jnp.asarray(plan.uids[:capacity].astype(np.int32)),
+        "n_unique": jnp.int32(plan.n_unique),
+        "ranks": plan.ranks,
+        "xv": plan.xv,
+        "fields": plan.fields,
+        "labels": plan.labels,
+        "row_mask": plan.row_mask,
+    }
+
+
+def make_streaming_train_step(cfg: KernelFFMConfig, capacity: int):
+    """Minibatch-streaming kernel FFM: one compiled program serves every
+    batch. pull (gather unique vocab rows into rank space) -> the same
+    field-aggregation forward/backward as make_train_step -> row-sparse
+    Adagrad push (server-side-update analogue, state co-located).
+
+    Loss trajectories equal make_train_step's on the touched rows
+    (tests/test_ffm_streaming.py); untouched rows differ only in that the
+    full-batch step L2-decays every resident rank row each step while the
+    streaming step, like the reference's PS, only updates pulled rows."""
+    R = capacity
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: StreamingFFMState, b: dict, hyper=None):
+        lr = cfg.learning_rate if hyper is None else hyper[0]
+        l2 = cfg.l2 if hyper is None else hyper[1]
+
+        uids = b["uids"]
+        n_unique = b["n_unique"]
+        rows = state.table[uids]                 # "pull" [R, Dw]
+        rows = rows.at[R - 1].set(0.0)           # padding rank reads zero
+
+        onehot_f = jax.nn.one_hot(b["fields"], cfg.n_fields)
+        weighted = onehot_f * b["xv"][..., None]
+        n_valid = jnp.maximum(jnp.sum(b["row_mask"]), 1.0)
+
+        def loss_fn(rows, w0):
+            z = _logits_from_rank_rows(rows, w0, b["ranks"], b["xv"], cfg,
+                                       onehot_f, weighted)
+            per = (jnp.maximum(z, 0) - z * b["labels"]
+                   + jnp.log1p(jnp.exp(-jnp.abs(z))))
+            return jnp.sum(per * b["row_mask"]) / n_valid
+
+        loss, (g_rows, g_w0) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            rows, state.w0
+        )
+        g_rows = g_rows + l2 * rows
+
+        # row-sparse adagrad push: padding ranks redirected out of bounds
+        pos = jnp.arange(R)
+        m = (pos < n_unique).astype(jnp.float32)[:, None]
+        g = g_rows * m
+        acc_rows = state.accum[uids] + g * g
+        upd = lr * g / (jnp.sqrt(acc_rows) + 1e-7)
+        safe_uids = jnp.where(pos < n_unique, uids, state.table.shape[0])
+        accum = state.accum.at[safe_uids].set(acc_rows, mode="drop")
+        table = state.table.at[safe_uids].add(-upd, mode="drop")
+
+        w0_accum = state.w0_accum + g_w0 * g_w0
+        w0 = state.w0 - lr * g_w0 / (jnp.sqrt(w0_accum) + 1e-7)
+        return StreamingFFMState(w0, w0_accum, table, accum), loss
+
+    return step
+
+
+def export_streaming_params(state: StreamingFFMState,
+                            cfg: KernelFFMConfig) -> dict:
+    """-> params dict usable with models/ffm.forward (vocab space)."""
+    F, Kf = cfg.n_fields, cfg.factor
+    table = np.asarray(state.table)
+    return {
+        "w0": jnp.asarray(float(state.w0)),
+        "w": jnp.asarray(table[:, 0]),
+        "v": jnp.asarray(table[:, 1 : 1 + F * Kf].reshape(-1, F, Kf)),
+    }
 
 
 def predict_logits(state: KernelFFMState, plan: FFMBatchPlan,

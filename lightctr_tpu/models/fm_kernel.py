@@ -323,7 +323,10 @@ def make_streaming_train_step(cfg: KernelFMConfig, capacity: int, b_pad: int):
     R = capacity
     interp = cfg.interpret
 
-    @jax.jit
+    # donate_argnums: the vocab-space master tables update in place —
+    # without donation every step copies the full [V, 16] table + accum
+    # (1.3 GB of HBM traffic at 10M vocab before any math runs).
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: StreamingFMState, b: dict, hyper=None):
         lr = cfg.learning_rate if hyper is None else hyper[0]
         l2 = cfg.l2 if hyper is None else hyper[1]
@@ -380,6 +383,114 @@ def make_streaming_train_step(cfg: KernelFMConfig, capacity: int, b_pad: int):
         w0_accum = state.w0_accum + g0 * g0
         w0 = state.w0 - lr * g0 / (jnp.sqrt(w0_accum) + 1e-7)
         return StreamingFMState(w0, w0_accum, table, accum), loss
+
+    return step
+
+
+class StreamingFMStatePacked(NamedTuple):
+    """Streaming state with table+accum interleaved as ONE [V, 32] array.
+
+    Measured (benchmarks/bench_gather_cost.py, v5e, 10M rows x 260k
+    touched): XLA gather/scatter against vocab-scale tables is per-ROW
+    bound, not per-element — one [R, 32] gather + one [R, 32] scatter-set
+    costs far less than the unpacked layout's 2 gathers + 2 scatters
+    (scatter w32 37.8 ms vs 2x w16 59.6 ms). Same math, same trajectory
+    (tests/test_fm_kernel.py::test_packed_streaming_matches_unpacked)."""
+
+    w0: jax.Array
+    w0_accum: jax.Array
+    packed: jax.Array  # [V, 32] = [table row (16) | adagrad accum (16)]
+
+
+def pack_streaming_state(state: StreamingFMState) -> StreamingFMStatePacked:
+    return StreamingFMStatePacked(
+        w0=state.w0, w0_accum=state.w0_accum,
+        packed=jnp.concatenate([state.table, state.accum], axis=1),
+    )
+
+
+def unpack_streaming_state(state: StreamingFMStatePacked) -> StreamingFMState:
+    return StreamingFMState(
+        w0=state.w0, w0_accum=state.w0_accum,
+        table=state.packed[:, : K.D], accum=state.packed[:, K.D :],
+    )
+
+
+def streaming_init_packed(rng: jax.Array,
+                          cfg: KernelFMConfig) -> StreamingFMStatePacked:
+    return pack_streaming_state(streaming_init(rng, cfg))
+
+
+def make_streaming_train_step_packed(cfg: KernelFMConfig, capacity: int,
+                                     b_pad: int):
+    """Packed-layout twin of make_streaming_train_step: ONE master-table
+    gather and ONE scatter-set per step (the pull/push halves of the PS
+    cycle collapse into single row operations). Identical numerics —
+    the scatter-set writes rows_pulled - update, which equals the
+    unpacked scatter-add because uids are unique."""
+    n_k = cfg.factor
+    R = capacity
+    interp = cfg.interpret
+    D = K.D
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: StreamingFMStatePacked, b: dict, hyper=None):
+        lr = cfg.learning_rate if hyper is None else hyper[0]
+        l2 = cfg.l2 if hyper is None else hyper[1]
+
+        uids = b["uids"]
+        n_unique = b["n_unique"]
+        pulled = state.packed[uids]             # ONE [R, 32] gather
+        rows = pulled[:, :D]
+        acc = pulled[:, D:]
+        rows = rows.at[R - 1].set(0.0)
+
+        rowsum, e_pos = K.fm_forward(
+            rows, b["ranks_sorted"], b["rowid_sorted"], b["xv_sorted"],
+            b["tile_base"], n_k=n_k, b_pad=b_pad, interpret=interp,
+            exact=cfg.exact,
+        )
+        wx = rowsum[:, 0]
+        s = rowsum[:, 1 : 1 + n_k]
+        ss = rowsum[:, 1 + n_k : 1 + 2 * n_k]
+        z = state.w0 + wx + 0.5 * jnp.sum(s * s - ss, axis=-1)
+        labels_p = b["labels_padded"]
+        rmask_p = b["row_mask_padded"]
+        n_valid = jnp.maximum(jnp.sum(rmask_p), 1.0)
+        per = jnp.maximum(z, 0) - z * labels_p + jnp.log1p(jnp.exp(-jnp.abs(z)))
+        loss = jnp.sum(per * rmask_p) / n_valid
+        dlogit = (jax.nn.sigmoid(z) - labels_p) * rmask_p / n_valid
+
+        duals = jnp.zeros((b_pad, K.S))
+        duals = duals.at[:, 0].set(dlogit)
+        duals = duals.at[:, 1 : 1 + n_k].set(dlogit[:, None] * s)
+        duals = duals.at[:, 1 + n_k : 1 + 2 * n_k].set(
+            jnp.broadcast_to(dlogit[:, None], (b_pad, n_k))
+        )
+        dwv_pos = K.fm_backward_positions(
+            b["rowid_sorted"], b["xv_sorted"], e_pos, duals,
+            n_k=n_k, b_pad=b_pad, interpret=interp, exact=cfg.exact,
+        )
+        grad_rows = blocked_scatter_add(
+            dwv_pos, b["ranks_sorted"], b["tile_base"],
+            n_rows=R, interpret=interp, exact=cfg.exact,
+        )
+        grad_rows = grad_rows + l2 * rows
+
+        pos = jnp.arange(R)
+        m = (pos < n_unique).astype(jnp.float32)[:, None]
+        g = grad_rows * m
+        acc_new = acc + g * g
+        rows_new = rows - lr * g / (jnp.sqrt(acc_new) + 1e-7)
+        safe_uids = jnp.where(pos < n_unique, uids, state.packed.shape[0])
+        packed = state.packed.at[safe_uids].set(
+            jnp.concatenate([rows_new, acc_new], axis=1), mode="drop"
+        )                                        # ONE [R, 32] scatter
+
+        g0 = jnp.sum(dlogit)
+        w0_accum = state.w0_accum + g0 * g0
+        w0 = state.w0 - lr * g0 / (jnp.sqrt(w0_accum) + 1e-7)
+        return StreamingFMStatePacked(w0, w0_accum, packed), loss
 
     return step
 

@@ -15,6 +15,7 @@ train_nfm_algo.h:25).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple
 
 import numpy as np
@@ -188,7 +189,9 @@ def make_streaming_train_step(cfg: KernelNFMConfig, capacity: int, b_pad: int):
     interp = cfg.interpret
     tx = optim.adam(cfg.mlp_learning_rate)
 
-    @jax.jit
+    # donate: the vocab-space master tables update in place (no full-table
+    # copy per step — see fm_kernel.make_streaming_train_step)
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: StreamingNFMState, b: dict, hyper=None):
         lr = cfg.learning_rate if hyper is None else hyper[0]
         l2 = cfg.l2 if hyper is None else hyper[1]

@@ -34,6 +34,8 @@ from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.fm_kernel import KernelFMConfig, StreamingFMState
+from ..models.nfm_kernel import KernelNFMConfig, StreamingNFMState
+from ..nn.mlp import mlp_apply
 from ..ops import fm_fused_pallas as K
 from ..ops.embedding_pallas import blocked_scatter_add
 
@@ -308,5 +310,260 @@ def make_dp_sharded_streaming_step(cfg: KernelFMConfig, capacity: int,
             state.table, state.accum, state.w0, state.w0_accum, b, h,
         )
         return StreamingFMState(w0, w0_accum, table, accum), loss
+
+    return step
+
+
+def shard_streaming_nfm_state(state: StreamingNFMState,
+                              mesh: Mesh) -> StreamingNFMState:
+    """Vocab tables row-sharded over `model`; the MLP tower + Adam state
+    replicate (they are KB-scale next to the table)."""
+    table_sh = NamedSharding(mesh, P("model", None))
+    rep = NamedSharding(mesh, P())
+    return StreamingNFMState(
+        w0=jax.device_put(state.w0, rep),
+        w0_accum=jax.device_put(state.w0_accum, rep),
+        table=jax.device_put(state.table, table_sh),
+        accum=jax.device_put(state.accum, table_sh),
+        mlp=jax.device_put(state.mlp, rep),
+        mlp_opt=jax.device_put(state.mlp_opt, rep),
+    )
+
+
+def make_sharded_streaming_nfm_step(cfg: KernelNFMConfig, capacity: int,
+                                    b_pad: int, mesh: Mesh):
+    """Sharded twin of nfm_kernel.make_streaming_train_step: the same
+    pull -> fused kernels -> row-sparse push cycle as the FM step, plus
+    the XLA MLP tower on the pooled [B, K] tensor. The tower runs
+    replicated on every shard (deterministic, so the Adam update keeps
+    the replicas bit-identical — no psum needed); only the vocab table
+    shards. Capability: the reference's NFM under its PS deployment
+    (train_nfm_algo.cpp:78-160 + paramserver.h:122-300)."""
+    from .. import optim
+
+    n_k = cfg.factor
+    R = capacity
+    interp = cfg.interpret
+    M = mesh.shape["model"]
+    V = cfg.n_features
+    assert V % M == 0, (
+        f"vocab {V} not divisible by model axis {M}; round with "
+        f"parallel.sharding.round_up_vocab(n, {M})"
+    )
+    rows_per_shard = V // M
+    tx = optim.adam(cfg.mlp_learning_rate)
+
+    def local_step(table_l, accum_l, w0, w0_accum, mlp, mlp_opt, b, hyper):
+        lr, l2 = hyper[0], hyper[1]
+        uids = b["uids"]
+        n_unique = b["n_unique"]
+
+        # ---- pull (same owned-rows psum as the FM step)
+        shard = jax.lax.axis_index("model")
+        offset = shard * rows_per_shard
+        local = uids - offset
+        in_range = (local >= 0) & (local < rows_per_shard)
+        safe = jnp.clip(local, 0, rows_per_shard - 1)
+        rows = jnp.where(in_range[:, None], table_l[safe], 0.0)
+        rows = jax.lax.psum(rows, "model")
+        rows = rows.at[R - 1].set(0.0)
+
+        rowsum, e_pos = K.fm_forward(
+            rows, b["ranks_sorted"], b["rowid_sorted"], b["xv_sorted"],
+            b["tile_base"], n_k=n_k, b_pad=b_pad, interpret=interp,
+            exact=cfg.exact,
+        )
+        wx = rowsum[:, 0]
+        s = rowsum[:, 1 : 1 + n_k]
+        ss = rowsum[:, 1 + n_k : 1 + 2 * n_k]
+        pooled = 0.5 * (s * s - ss)
+
+        def deep_fn(mlp, pooled):
+            return mlp_apply(mlp, pooled, activation=cfg.activation)[:, 0]
+
+        deep, deep_vjp = jax.vjp(deep_fn, mlp, pooled)
+        z = w0 + wx + deep
+        labels_p = b["labels_padded"]
+        rmask_p = b["row_mask_padded"]
+        n_valid = jnp.maximum(jnp.sum(rmask_p), 1.0)
+        per = jnp.maximum(z, 0) - z * labels_p + jnp.log1p(jnp.exp(-jnp.abs(z)))
+        loss = jnp.sum(per * rmask_p) / n_valid
+        dlogit = (jax.nn.sigmoid(z) - labels_p) * rmask_p / n_valid
+
+        d_mlp, g_pool = deep_vjp(dlogit)
+        duals = jnp.zeros((b_pad, K.S))
+        duals = duals.at[:, 0].set(dlogit)
+        duals = duals.at[:, 1 : 1 + n_k].set(g_pool * s)
+        duals = duals.at[:, 1 + n_k : 1 + 2 * n_k].set(g_pool)
+
+        dwv_pos = K.fm_backward_positions(
+            b["rowid_sorted"], b["xv_sorted"], e_pos, duals,
+            n_k=n_k, b_pad=b_pad, interpret=interp, exact=cfg.exact,
+        )
+        grad_rows = blocked_scatter_add(
+            dwv_pos, b["ranks_sorted"], b["tile_base"],
+            n_rows=R, interpret=interp, exact=cfg.exact,
+        )
+        grad_rows = grad_rows + l2 * rows
+
+        # ---- push: server-side Adagrad on owned rows only
+        pos = jnp.arange(R)
+        m = (pos < n_unique).astype(jnp.float32)[:, None]
+        g = grad_rows * m
+        acc_rows = jnp.where(in_range[:, None], accum_l[safe], 0.0) + g * g
+        upd = lr * g / (jnp.sqrt(acc_rows) + 1e-7)
+        own = in_range & (pos < n_unique)
+        scatter_idx = jnp.where(own, safe, rows_per_shard)
+        accum_l = accum_l.at[scatter_idx].set(acc_rows, mode="drop")
+        table_l = table_l.at[scatter_idx].add(-upd, mode="drop")
+
+        # ---- replicated MLP Adam (identical inputs on every shard)
+        mlp_updates, mlp_opt = tx.update(d_mlp, mlp_opt, mlp)
+        mlp = optim.apply_updates(mlp, mlp_updates)
+
+        g0 = jnp.sum(dlogit)
+        w0_accum = w0_accum + g0 * g0
+        w0 = w0 - lr * g0 / (jnp.sqrt(w0_accum) + 1e-7)
+        return table_l, accum_l, w0, w0_accum, mlp, mlp_opt, loss
+
+    table_spec = P("model", None)
+    rep = P()
+    batch_specs = {
+        "uids": rep, "n_unique": rep, "ranks_sorted": rep,
+        "rowid_sorted": rep, "xv_sorted": rep, "tile_base": rep,
+        "labels_padded": rep, "row_mask_padded": rep,
+    }
+    mapped = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(table_spec, table_spec, rep, rep, rep, rep,
+                  batch_specs, rep),
+        out_specs=(table_spec, table_spec, rep, rep, rep, rep, rep),
+        check_rep=False,
+    )
+
+    default_hyper = jnp.asarray([cfg.learning_rate, cfg.l2], jnp.float32)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: StreamingNFMState, b: dict, hyper=None):
+        h = default_hyper if hyper is None else hyper
+        table, accum, w0, w0_accum, mlp, mlp_opt, loss = mapped(
+            state.table, state.accum, state.w0, state.w0_accum,
+            state.mlp, state.mlp_opt, b, h,
+        )
+        return StreamingNFMState(w0, w0_accum, table, accum, mlp,
+                                 mlp_opt), loss
+
+    return step
+
+
+def shard_streaming_ffm_state(state, mesh: Mesh):
+    """Vocab-space FFM master tables row-sharded over `model`. The FFM
+    table is (1 + F*K)-wide per row — the heaviest of the kernel family,
+    so the per-chip memory win from sharding is the largest here."""
+    from ..models.ffm_kernel import StreamingFFMState
+
+    table_sh = NamedSharding(mesh, P("model", None))
+    rep = NamedSharding(mesh, P())
+    return StreamingFFMState(
+        w0=jax.device_put(state.w0, rep),
+        w0_accum=jax.device_put(state.w0_accum, rep),
+        table=jax.device_put(state.table, table_sh),
+        accum=jax.device_put(state.accum, table_sh),
+    )
+
+
+def make_sharded_streaming_ffm_step(cfg, capacity: int, mesh: Mesh):
+    """Sharded twin of ffm_kernel.make_streaming_train_step: the same
+    owned-rows pull/psum -> replicated field-aggregation kernels (autodiff
+    supplies the backward through the Pallas rank_lookup) -> owned-row
+    server-side Adagrad push. Batch dict from ffm_kernel.plan_to_arrays.
+    Capability: the reference FFM under its PS cluster
+    (train_ffm_algo.cpp:51-116 + paramserver.h:122-300)."""
+    from ..models.ffm_kernel import (
+        StreamingFFMState,
+        _logits_from_rank_rows,
+    )
+
+    R = capacity
+    M = mesh.shape["model"]
+    V = cfg.n_features
+    assert V % M == 0, (
+        f"vocab {V} not divisible by model axis {M}; round with "
+        f"parallel.sharding.round_up_vocab(n, {M})"
+    )
+    rows_per_shard = V // M
+
+    def local_step(table_l, accum_l, w0, w0_accum, b, hyper):
+        lr, l2 = hyper[0], hyper[1]
+        uids = b["uids"]
+        n_unique = b["n_unique"]
+
+        # ---- pull: owned rows -> psum assembles replicated [R, Dw]
+        shard = jax.lax.axis_index("model")
+        offset = shard * rows_per_shard
+        local = uids - offset
+        in_range = (local >= 0) & (local < rows_per_shard)
+        safe = jnp.clip(local, 0, rows_per_shard - 1)
+        rows = jnp.where(in_range[:, None], table_l[safe], 0.0)
+        rows = jax.lax.psum(rows, "model")
+        rows = rows.at[R - 1].set(0.0)
+
+        onehot_f = jax.nn.one_hot(b["fields"], cfg.n_fields)
+        weighted = onehot_f * b["xv"][..., None]
+        n_valid = jnp.maximum(jnp.sum(b["row_mask"]), 1.0)
+
+        def loss_fn(rows, w0):
+            z = _logits_from_rank_rows(rows, w0, b["ranks"], b["xv"], cfg,
+                                       onehot_f, weighted)
+            per = (jnp.maximum(z, 0) - z * b["labels"]
+                   + jnp.log1p(jnp.exp(-jnp.abs(z))))
+            return jnp.sum(per * b["row_mask"]) / n_valid
+
+        loss, (g_rows, g_w0) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            rows, w0
+        )
+        g_rows = g_rows + l2 * rows
+
+        # ---- push: server-side Adagrad on owned rows only
+        pos = jnp.arange(R)
+        m = (pos < n_unique).astype(jnp.float32)[:, None]
+        g = g_rows * m
+        acc_rows = jnp.where(in_range[:, None], accum_l[safe], 0.0) + g * g
+        upd = lr * g / (jnp.sqrt(acc_rows) + 1e-7)
+        own = in_range & (pos < n_unique)
+        scatter_idx = jnp.where(own, safe, rows_per_shard)
+        accum_l = accum_l.at[scatter_idx].set(acc_rows, mode="drop")
+        table_l = table_l.at[scatter_idx].add(-upd, mode="drop")
+
+        w0_accum = w0_accum + g_w0 * g_w0
+        w0 = w0 - lr * g_w0 / (jnp.sqrt(w0_accum) + 1e-7)
+        return table_l, accum_l, w0, w0_accum, loss
+
+    table_spec = P("model", None)
+    rep = P()
+    batch_specs = {
+        "uids": rep, "n_unique": rep, "ranks": rep, "xv": rep,
+        "fields": rep, "labels": rep, "row_mask": rep,
+    }
+    mapped = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(table_spec, table_spec, rep, rep, batch_specs, rep),
+        out_specs=(table_spec, table_spec, rep, rep, rep),
+        check_rep=False,
+    )
+
+    default_hyper = jnp.asarray([cfg.learning_rate, cfg.l2], jnp.float32)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, b: dict, hyper=None):
+        h = default_hyper if hyper is None else hyper
+        table, accum, w0, w0_accum, loss = mapped(
+            state.table, state.accum, state.w0, state.w0_accum, b, h,
+        )
+        from ..models.ffm_kernel import StreamingFFMState
+
+        return StreamingFFMState(w0, w0_accum, table, accum), loss
 
     return step

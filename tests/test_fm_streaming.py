@@ -83,10 +83,10 @@ def test_device_plan_matches_host_plan(sparse_small):
     cfg = fm_kernel.KernelFMConfig(
         n_features=ds.n_features, factor=4, interpret=True, exact=True
     )
-    state = fm_kernel.streaming_init(jax.random.PRNGKey(0), cfg)
+    # the step donates its input state: use two identically-seeded states
     step = fm_kernel.make_streaming_train_step(cfg, capacity, host_plan.b_pad)
-    _, loss_h = step(state, host)
-    _, loss_d = step(state, dev)
+    _, loss_h = step(fm_kernel.streaming_init(jax.random.PRNGKey(0), cfg), host)
+    _, loss_d = step(fm_kernel.streaming_init(jax.random.PRNGKey(0), cfg), dev)
     np.testing.assert_allclose(float(loss_h), float(loss_d), rtol=1e-6)
 
 
@@ -145,13 +145,54 @@ def test_streaming_first_loss_matches_dense(sparse_small):
     )
     arrays = fm_kernel.plan_to_arrays(plan, capacity)
     step = fm_kernel.make_streaming_train_step(cfg, capacity, plan.b_pad)
-    _, loss = step(state, arrays)
-
+    # snapshot init params first — the step donates (deletes) its input
     params = {
-        "w0": state.w0,
-        "w": state.table[:, 0],
-        "v": state.table[:, 1 : 1 + cfg.factor],
+        "w0": jnp.array(state.w0),
+        "w": jnp.array(state.table[:, 0]),
+        "v": jnp.array(state.table[:, 1 : 1 + cfg.factor]),
     }
+    _, loss = step(state, arrays)
     fcfg = fm.FMConfig(n_features=ds.n_features, factor=4)
     expect = float(fm.loss(params, b, fcfg))
     np.testing.assert_allclose(float(loss), expect, rtol=1e-4)
+
+
+def test_packed_streaming_matches_unpacked(sparse_small):
+    """The packed [V, 32] layout (one gather + one scatter-set per step)
+    must reproduce the unpacked streaming trajectory exactly — same math,
+    different master-table memory layout."""
+    ds = sparse_small
+    B, capacity, b_pad = 128, 4 * TILE, 128
+    cfg = fm_kernel.KernelFMConfig(
+        n_features=1024, factor=4, learning_rate=0.25, l2=1e-4,
+        interpret=True, exact=True,
+    )
+    # independent identically-seeded states: both steps donate, and
+    # pack_streaming_state shares the w0 buffers with its argument
+    state_u = fm_kernel.streaming_init(jax.random.PRNGKey(0), cfg)
+    state_p = fm_kernel.pack_streaming_state(
+        fm_kernel.streaming_init(jax.random.PRNGKey(0), cfg)
+    )
+    step_u = fm_kernel.make_streaming_train_step(cfg, capacity, b_pad)
+    step_p = fm_kernel.make_streaming_train_step_packed(cfg, capacity, b_pad)
+
+    losses_u, losses_p = [], []
+    for epoch in range(4):
+        for b in sparse_batches(ds, B):
+            arrays = fm_kernel.plan_batch_on_device(
+                jnp.asarray(b["ids"], jnp.int32), jnp.asarray(b["vals"]),
+                jnp.asarray(b["mask"]), jnp.asarray(b["labels"]),
+                jnp.asarray(b["row_mask"]), capacity=capacity, b_pad=b_pad,
+            )
+            state_u, lu = step_u(state_u, arrays)
+            state_p, lp = step_p(state_p, arrays)
+            losses_u.append(float(lu))
+            losses_p.append(float(lp))
+
+    np.testing.assert_allclose(losses_p, losses_u, rtol=1e-6)
+    assert losses_p[-1] < 0.5 * losses_p[0]
+    back = fm_kernel.unpack_streaming_state(state_p)
+    np.testing.assert_allclose(np.asarray(back.table),
+                               np.asarray(state_u.table), rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(back.accum),
+                               np.asarray(state_u.accum), rtol=1e-6, atol=1e-8)

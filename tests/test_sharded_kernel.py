@@ -167,3 +167,55 @@ def test_sharded_streaming_uses_all_shards(sparse_small):
     t1 = np.asarray(jax.device_get(state.table))
     per_shard = np.abs(t1 - table0).reshape(8, V // 8, -1).max(axis=(1, 2))
     assert (per_shard > 0).all(), per_shard
+
+
+def test_sharded_streaming_nfm_matches_single_device(sparse_small):
+    """Model-axis-sharded streaming NFM == single-device streaming NFM
+    (table pull/push sharded; MLP tower replicated + kept in lockstep)."""
+    from lightctr_tpu.models import nfm_kernel
+    from lightctr_tpu.parallel.sharded_kernel import (
+        make_sharded_streaming_nfm_step,
+        shard_streaming_nfm_state,
+    )
+
+    ds = sparse_small
+    V, B, capacity, b_pad = 1024, 128, 4 * TILE, 128
+    cfg = nfm_kernel.KernelNFMConfig(
+        n_features=V, factor=4, hidden=(8,), learning_rate=0.25,
+        mlp_learning_rate=1e-3, l2=1e-4, interpret=True, exact=True,
+    )
+
+    state_1 = nfm_kernel.streaming_init(jax.random.PRNGKey(0), cfg)
+    step_1 = nfm_kernel.make_streaming_train_step(cfg, capacity, b_pad)
+
+    mesh = make_mesh(data=1, model=8)
+    state_8 = shard_streaming_nfm_state(
+        nfm_kernel.streaming_init(jax.random.PRNGKey(0), cfg), mesh
+    )
+    step_8 = make_sharded_streaming_nfm_step(cfg, capacity, b_pad, mesh)
+
+    losses_1, losses_8 = [], []
+    for epoch in range(3):
+        for b in sparse_batches(ds, B):
+            arrays = fm_kernel.plan_batch_on_device(
+                jnp.asarray(b["ids"], jnp.int32), jnp.asarray(b["vals"]),
+                jnp.asarray(b["mask"]), jnp.asarray(b["labels"]),
+                jnp.asarray(b["row_mask"]), capacity=capacity, b_pad=b_pad,
+            )
+            state_1, l1 = step_1(state_1, arrays)
+            state_8, l8 = step_8(state_8, arrays)
+            losses_1.append(float(l1))
+            losses_8.append(float(l8))
+
+    np.testing.assert_allclose(losses_8, losses_1, rtol=1e-5)
+    assert losses_8[-1] < 0.7 * losses_8[0]
+    t1 = np.asarray(state_1.table)
+    t8 = np.asarray(jax.device_get(state_8.table))
+    np.testing.assert_allclose(t8, t1, rtol=1e-4, atol=1e-6)
+    # MLP replicas advanced identically on every shard
+    import jax as _jax
+    _jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
+        jax.device_get(state_8.mlp), state_1.mlp,
+    )
