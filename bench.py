@@ -43,7 +43,13 @@ PRODUCTION_TIMEOUT_S = int(os.environ.get("BENCH_PRODUCTION_TIMEOUT", "1500"))
 
 
 def production_main():
-    """Streaming kernel FM at PS scale (B=4096, L=64, 10M vocab)."""
+    """Streaming kernel FM at PS scale (B=4096, L=64, 10M vocab), two
+    traffic shapes:
+      uniform — worst case: ~99% of the B*L ids unique per batch, so the
+                master-table pull/push touches ~260k rows/step
+      zipf    — realistic CTR traffic (power-law ids, like the bundled
+                Criteo-style data): far smaller per-batch working set
+    """
     import jax
 
     from lightctr_tpu.utils.cache import enable_compilation_cache
@@ -54,31 +60,39 @@ def production_main():
 
     B, L, vocab = 4096, 64, 10_000_000
     rng = np.random.default_rng(0)
-    ids = rng.integers(0, vocab, (B, L)).astype(np.int64)
     ones = np.ones((B, L), np.float32)
     labels = rng.integers(0, 2, (B,)).astype(np.float32)
     cfg = fm_kernel.KernelFMConfig(
         n_features=vocab, factor=8, learning_rate=0.05, exact=False
     )
-    plan = fm_kernel.plan_batch(ids, ones, ones, labels)
-    capacity = plan.n_rows_pad
-    # packed [V, 32] master layout: ONE row-gather + ONE row-scatter per
-    # step (XLA gather/scatter at vocab scale is per-row bound —
-    # benchmarks/bench_gather_cost.py)
-    state = fm_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg)
-    step = fm_kernel.make_streaming_train_step_packed(
-        cfg, capacity, plan.b_pad)
-    arrays = fm_kernel.plan_to_arrays(plan, capacity)
-    state, loss = step(state, arrays)
-    float(loss)
-    n = 100
-    t0 = time.perf_counter()
-    for _ in range(n):
+    out = {}
+    for name, ids in (
+        ("", rng.integers(0, vocab, (B, L)).astype(np.int64)),
+        ("zipf_", np.minimum(rng.zipf(1.2, (B, L)) - 1,
+                             vocab - 1).astype(np.int64)),
+    ):
+        plan = fm_kernel.plan_batch(ids, ones, ones, labels)
+        capacity = plan.n_rows_pad
+        # packed [V, 32] master layout: ONE row-gather + ONE row-scatter
+        # per step (XLA gather/scatter at vocab scale is per-row bound —
+        # benchmarks/bench_gather_cost.py)
+        state = fm_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg)
+        step = fm_kernel.make_streaming_train_step_packed(
+            cfg, capacity, plan.b_pad)
+        arrays = fm_kernel.plan_to_arrays(plan, capacity)
         state, loss = step(state, arrays)
-    float(loss)
-    dt = (time.perf_counter() - t0) / n
-    print(json.dumps({"production_examples_per_sec": round(B / dt, 1),
-                      "production_step_ms": round(dt * 1e3, 3)}))
+        float(loss)
+        n = 100
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, loss = step(state, arrays)
+        float(loss)
+        dt = (time.perf_counter() - t0) / n
+        out[f"production_{name}examples_per_sec"] = round(B / dt, 1)
+        out[f"production_{name}step_ms"] = round(dt * 1e3, 3)
+        if name:
+            out[f"production_{name}unique_rows"] = int(plan.n_unique)
+    print(json.dumps(out))
 
 
 def run_production_subprocess():

@@ -79,8 +79,11 @@ def train_fm_kernel(ds, factor=8, learning_rate=0.05, l2=0.0, epochs=5,
                 "v": jnp.asarray(v)}, epoch_losses
 
     capacity, b_pad = _streaming_dims(ds, batch_size)
-    state = fm_kernel.streaming_init(rng, cfg)
-    step = fm_kernel.make_streaming_train_step(cfg, capacity, b_pad)
+    # packed [V, 32] master layout: one row-gather + one row-scatter per
+    # step (same trajectory as unpacked — tests/test_fm_streaming.py;
+    # measured +52% at 10M vocab, PARITY.md)
+    state = fm_kernel.streaming_init_packed(rng, cfg)
+    step = fm_kernel.make_streaming_train_step_packed(cfg, capacity, b_pad)
     np_rng = np.random.default_rng(seed)
 
     def place(b):
@@ -103,7 +106,7 @@ def train_fm_kernel(ds, factor=8, learning_rate=0.05, l2=0.0, epochs=5,
         epoch_losses.append(float(jnp.mean(jnp.stack(losses))))
         if log:
             log(f"epoch {epoch}: loss={epoch_losses[-1]:.5f}")
-    table = np.asarray(state.table)
+    table = np.asarray(fm_kernel.unpack_streaming_state(state).table)
     return {
         "w0": jnp.asarray(float(state.w0)),
         "w": jnp.asarray(table[:, 0]),
