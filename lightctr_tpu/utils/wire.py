@@ -12,37 +12,59 @@ from __future__ import annotations
 import numpy as np
 
 
+_MAX_LEB_BYTES = 10  # ceil(64 / 7)
+_SHIFTS = np.arange(_MAX_LEB_BYTES, dtype=np.uint64) * np.uint64(7)
+
+
 def varuint_encode(values: np.ndarray) -> bytes:
-    """LEB128 encode an array of non-negative ints."""
-    values = np.asarray(values, np.uint64)
-    out = bytearray()
-    for v in values.tolist():
-        while True:
-            b = v & 0x7F
-            v >>= 7
-            if v:
-                out.append(b | 0x80)
-            else:
-                out.append(b)
-                break
-    return bytes(out)
+    """LEB128 encode an array of non-negative ints.
+
+    Vectorised: emits every value's candidate bytes as an [N, 10] matrix
+    (byte j = bits [7j, 7j+7)), sets continuation bits on all but each
+    value's last byte, then compacts with a boolean mask — no per-element
+    Python loop (the reference's appendVarUint, buffer.h:113, is a
+    per-value while loop; at table scale that costs ~100x).
+    """
+    values = np.asarray(values, np.uint64).ravel()
+    if values.size == 0:
+        return b""
+    out = np.empty((values.size, _MAX_LEB_BYTES), np.uint8)
+    nbytes = np.ones(values.size, np.int64)
+    for jj in range(_MAX_LEB_BYTES):
+        out[:, jj] = (values >> np.uint64(7 * jj)).astype(np.uint8) & 0x7F
+        if jj:
+            nbytes += values >= np.uint64(1 << (7 * jj))
+    j = np.arange(_MAX_LEB_BYTES)
+    keep = j[None, :] < nbytes[:, None]
+    cont = j[None, :] < (nbytes - 1)[:, None]
+    out[cont] |= 0x80
+    return out[keep].tobytes()
 
 
 def varuint_decode(data: bytes, count: int | None = None) -> np.ndarray:
-    out = []
-    v = 0
-    shift = 0
-    for b in data:
-        v |= (b & 0x7F) << shift
-        if b & 0x80:
-            shift += 7
-        else:
-            out.append(v)
-            v = 0
-            shift = 0
-            if count is not None and len(out) >= count:
-                break
-    return np.asarray(out, np.uint64)
+    """Vectorised LEB128 decode: terminal bytes (high bit clear) mark value
+    boundaries; per-group positional shifts + np.add.reduceat reassemble."""
+    b = np.frombuffer(data, np.uint8)
+    if b.size == 0:
+        return np.empty((0,), np.uint64)
+    terminal = (b & 0x80) == 0
+    if count is not None:
+        # stop after `count` values (trailing payload may follow the keys)
+        ends = np.flatnonzero(terminal)
+        if len(ends) > count:
+            b = b[: ends[count - 1] + 1]
+            terminal = terminal[: b.size]
+    starts = np.empty(b.size, np.bool_)
+    starts[0] = True
+    starts[1:] = terminal[:-1]
+    start_idx = np.flatnonzero(starts)
+    pos = np.arange(b.size) - np.repeat(
+        start_idx, np.diff(np.append(start_idx, b.size))
+    )
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (
+        np.uint64(7) * pos.astype(np.uint64)
+    )
+    return np.add.reduceat(contrib, start_idx)
 
 
 def delta_varuint_encode(sorted_ids: np.ndarray) -> bytes:
