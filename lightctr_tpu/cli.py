@@ -132,6 +132,11 @@ def main(argv=None):
                    help="sparse libffm input (missing = absent feature, "
                         "learned default directions) instead of dense CSV")
     g.add_argument("--n-bins", type=int, default=32)
+    g.add_argument("--grow-policy", choices=["depthwise", "lossguide"],
+                   default="depthwise",
+                   help="lossguide = leaf-wise best-gain-first growth")
+    g.add_argument("--max-leaves", type=int, default=0,
+                   help="lossguide leaf budget (0 = 2**max_depth)")
     g.add_argument("--test", default=None)
 
     c = sub.add_parser("gmm")
@@ -360,7 +365,9 @@ def _run_aux_command(args):
 
             ds = load_libffm(args.train)
             cfg = GBMConfig(n_rounds=args.rounds, max_depth=args.max_depth,
-                            n_bins=args.n_bins, n_classes=2)
+                            n_bins=args.n_bins, n_classes=2,
+                            grow_policy=args.grow_policy,
+                            max_leaves=args.max_leaves)
             model = SparseGBM(cfg).fit(ds, ds.labels, log=print)
             p = model.predict_proba(ds)[:, 1]
             print("train:", _json.dumps(_metrics(p, ds.labels)))
@@ -375,7 +382,9 @@ def _run_aux_command(args):
             x, y, k = load_dense_csv(args.train, max_rows=args.max_rows)
             n_classes = max(args.n_classes, k)
             cfg = GBMConfig(n_rounds=args.rounds, max_depth=args.max_depth,
-                            n_classes=n_classes)
+                            n_classes=n_classes,
+                            grow_policy=args.grow_policy,
+                            max_leaves=args.max_leaves)
             model = GBM(cfg).fit(x, y, log=print)
             acc = (model.predict(x) == y).mean()
             print(f"final train accuracy: {acc:.4f}")

@@ -10,11 +10,24 @@ bin) followed by cumulative sums — an XLA reduction, not the reference's
 per-thread sorted sweeps. Tree structure/growth decisions stay on host
 (data-dependent control flow is a poor fit for the compiler; SURVEY.md §7
 flags this explicitly); all O(N*F) work runs on device.
+
+Growth engine (shared by the dense and sparse-CSR frontends):
+  - host-side row partitioning is fully vectorised: node->compact-slot
+    lookup tables and one gather of each row's own split feature per
+    level — no per-node O(N) mask scans
+  - histogram subtraction: per split, only the SMALLER child's histogram
+    is recomputed (rows/entries compacted on host, padded to bucketed
+    sizes to bound recompiles); the sibling is parent - child, halving
+    the device scatter work per level
+  - two growth policies: "depthwise" (level-wise, the reference's) and
+    "lossguide" (leaf-wise best-gain-first with max_leaves, LightGBM-style)
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
+import heapq
 
 import numpy as np
 
@@ -35,6 +48,8 @@ class GBMConfig:
     subsample: float = 0.7        # row subsample  (reference :72-86)
     colsample: float = 0.7        # feature subsample
     n_classes: int = 2            # 2 = binary (single tree/round)
+    grow_policy: str = "depthwise"  # or "lossguide" (leaf-wise, best gain)
+    max_leaves: int = 0           # lossguide leaf budget (0 = 2**max_depth)
     seed: int = 0
 
 
@@ -64,9 +79,6 @@ def quantile_bins(x: np.ndarray, n_bins: int):
         bin_ids[:, f] = np.searchsorted(edges[f], x[:, f], side="right")
     bin_ids[nan_mask] = n_bins - 1
     return bin_ids, edges
-
-
-import functools
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5))
@@ -128,8 +140,7 @@ def _best_splits(hist, reg_lambda, reg_alpha, gamma, min_child_hess):
         nan_left.reshape(nan_left.shape[0], -1), best[:, None], axis=-1
     )[:, 0]
     n_thr = gain.shape[-1]
-    return (best_gain, best // n_thr, best % n_thr, best_nan_left,
-            g_tot[..., 0, 0], h_tot[..., 0, 0])
+    return best_gain, best // n_thr, best % n_thr, best_nan_left
 
 
 def _leaf_value(g, h, cfg: GBMConfig):
@@ -137,100 +148,341 @@ def _leaf_value(g, h, cfg: GBMConfig):
     return float(-t / (h + cfg.reg_lambda))
 
 
-def _grow_tree(bin_ids_d, g_d, h_d, row_mask, cfg: GBMConfig, rng) -> Tree:
-    """Level-wise growth over compact active-node ids."""
-    N, F = bin_ids_d.shape
+def _bucket(n: int) -> int:
+    """Pad count to a bounded family of sizes (two per octave, min 128) so
+    compacted-histogram recompiles stay O(log N) while pad waste <= 33%."""
+    p = 1 << max(7, (max(n, 1) - 1).bit_length())
+    return 3 * p // 4 if n <= 3 * p // 4 else p
+
+
+class _DenseSource:
+    """Histogram/feature-bin provider over a dense [N, F] uint8 bin matrix."""
+
+    def __init__(self, bin_np: np.ndarray, n_bins: int):
+        self.bin_np = bin_np
+        self.bin_d = jnp.asarray(bin_np)
+        self.n_bins = n_bins
+        self.n_feats = bin_np.shape[1]
+
+    def set_grads(self, g_np, h_np):
+        self.g_d = jnp.asarray(g_np)
+        self.h_d = jnp.asarray(h_np)
+
+    def hist(self, node_of_row: np.ndarray, lut: np.ndarray, n_direct: int):
+        """[n_direct, F, B, 2] histograms for the nodes lut maps to compact
+        slots; rows of other nodes are compacted away (not scattered)."""
+        comp = lut[node_of_row]          # node -1 reads lut[-1] = trash
+        sel = np.flatnonzero(comp != n_direct)
+        npad = _bucket(len(sel))
+        sel_p = np.zeros(npad, np.int64)
+        sel_p[: len(sel)] = sel
+        comp_p = np.full(npad, n_direct, np.int32)
+        comp_p[: len(sel)] = comp[sel]
+        sel_d = jnp.asarray(sel_p)
+        out = _histogram(
+            jnp.asarray(comp_p), self.bin_d[sel_d], self.g_d[sel_d],
+            self.h_d[sel_d], n_direct + 1, self.n_bins,
+        )
+        return np.asarray(out)[:n_direct]
+
+    def row_feature_bins(self, frow: np.ndarray) -> np.ndarray:
+        """Each row's bin in its OWN node's split feature (frow [N], -1 ok;
+        garbage where frow < 0)."""
+        return self.bin_np[np.arange(len(frow)), np.maximum(frow, 0)]
+
+    def feature_bins(self, f: int) -> np.ndarray:
+        return self.bin_np[:, f]
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9))
+def _sparse_hist_compact(comp_e, col_e, bin_e, g_e, h_e, comp_of_row, gh_row,
+                         n_slots, n_feats, n_bins):
+    """[n_slots, F, B, 2] from compacted CSR entries; absent mass (rows of a
+    node lacking a feature) lands in bin B-1 as node_total - present_sum."""
+    flat = (
+        comp_e * (n_feats * n_bins) + col_e * n_bins + bin_e.astype(jnp.int32)
+    )
+    hist = (
+        jnp.zeros((n_slots * n_feats * n_bins, 2), jnp.float32)
+        .at[flat].add(jnp.stack([g_e, h_e], axis=-1))
+        .reshape(n_slots, n_feats, n_bins, 2)
+    )
+    tot = jnp.zeros((n_slots, 2), jnp.float32).at[comp_of_row].add(gh_row)
+    absent = tot[:, None, :] - hist.sum(axis=2)          # [n_slots, F, 2]
+    return hist.at[:, :, n_bins - 1, :].add(absent)
+
+
+class _SparseSource:
+    """Histogram/feature-bin provider over CSR entries (col, bin per entry);
+    absent feature = reserved bin B-1, materialised as complement mass."""
+
+    def __init__(self, col, bins, row_of_entry, csc, feature_column, n_feats,
+                 n_bins):
+        self.col = col
+        self.bins = bins
+        self.row_of_entry = row_of_entry
+        self.csc = csc
+        self._feature_column = feature_column
+        self.n_feats = n_feats
+        self.n_bins = n_bins
+
+    def set_grads(self, g_np, h_np):
+        self.g_np = g_np
+        self.h_np = h_np
+        self.gh_d = jnp.asarray(np.stack([g_np, h_np], axis=-1))
+
+    def hist(self, node_of_row: np.ndarray, lut: np.ndarray, n_direct: int):
+        comp = lut[node_of_row]
+        comp_e = comp[self.row_of_entry]
+        sel = np.flatnonzero(comp_e != n_direct)
+        npad = _bucket(len(sel))
+
+        def pad(a, fill, dtype):
+            out = np.full(npad, fill, dtype)
+            out[: len(sel)] = a[sel]
+            return out
+
+        rows_sel = self.row_of_entry[sel]
+        out = _sparse_hist_compact(
+            jnp.asarray(pad(comp_e, n_direct, np.int32)),
+            jnp.asarray(pad(self.col, 0, np.int32)),
+            jnp.asarray(pad(self.bins, 0, np.uint8)),
+            jnp.asarray(np.pad(self.g_np[rows_sel], (0, npad - len(sel)))),
+            jnp.asarray(np.pad(self.h_np[rows_sel], (0, npad - len(sel)))),
+            jnp.asarray(comp), self.gh_d,
+            n_direct + 1, self.n_feats, self.n_bins,
+        )
+        return np.asarray(out)[:n_direct]
+
+    def row_feature_bins(self, frow: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(frow), np.uint8)
+        for f in np.unique(frow[frow >= 0]):
+            m = frow == f
+            out[m] = self._feature_column(int(f))[m]
+        return out
+
+    def feature_bins(self, f: int) -> np.ndarray:
+        return self._feature_column(f)
+
+
+class _TreeBuilder:
+    """Growable parallel arrays for tree structure."""
+
+    def __init__(self):
+        self.feature = [-1]
+        self.threshold = [0]
+        self.left = [-1]
+        self.right = [-1]
+        self.value = [0.0]
+        self.nan_left = [False]
+
+    def add_children(self, nid, f, b, nl):
+        lid, rid = len(self.feature), len(self.feature) + 1
+        for a, fill in ((self.feature, -1), (self.threshold, 0),
+                        (self.left, -1), (self.right, -1),
+                        (self.value, 0.0), (self.nan_left, False)):
+            a.extend([fill, fill])
+        self.feature[nid] = f
+        self.threshold[nid] = b
+        self.left[nid] = lid
+        self.right[nid] = rid
+        self.nan_left[nid] = nl
+        return lid, rid
+
+    def finish(self) -> Tree:
+        return Tree(
+            feature=np.asarray(self.feature, np.int32),
+            threshold=np.asarray(self.threshold, np.int32),
+            left=np.asarray(self.left, np.int32),
+            right=np.asarray(self.right, np.int32),
+            value=np.asarray(self.value, np.float32),
+            nan_left=np.asarray(self.nan_left, bool),
+        )
+
+
+def _node_totals(hists: np.ndarray):
+    """Node (G, H) totals from raw (pre-feature-mask) histograms: every
+    feature's bins partition the node's rows, so feature 0 suffices."""
+    return hists[:, 0, :, 0].sum(-1), hists[:, 0, :, 1].sum(-1)
+
+
+def _masked_best_splits(hists: np.ndarray, feat_mask, cfg: GBMConfig):
+    hm = hists.copy()
+    hm[:, ~feat_mask] = 0.0
+    return tuple(
+        np.asarray(t)
+        for t in _best_splits(
+            jnp.asarray(hm), cfg.reg_lambda, cfg.reg_alpha, cfg.gamma,
+            cfg.min_child_hess,
+        )
+    )
+
+
+def _grow(cfg: GBMConfig, N, src, g_np, h_np, row_mask, rng) -> Tree:
+    """Shared tree grower over a histogram source (dense or sparse)."""
+    src.set_grads(g_np, h_np)
+    F = src.n_feats
     feat_mask = rng.random(F) < cfg.colsample
     if not feat_mask.any():
         feat_mask[rng.integers(F)] = True
+    if cfg.grow_policy == "lossguide":
+        return _grow_lossguide(cfg, N, src, g_np, h_np, row_mask, feat_mask)
+    return _grow_depthwise(cfg, N, src, g_np, h_np, row_mask, feat_mask)
 
-    feature = [-1]
-    threshold = [0]
-    left = [-1]
-    right = [-1]
-    value = [0.0]
-    nan_left = [False]
 
-    # node assignment per row; -1 = out of tree (subsampled away)
+def _root_state(cfg, N, src, row_mask):
     node_of_row = np.where(row_mask, 0, -1).astype(np.int32)
-    active = [0]  # tree node ids that are growable at current level
+    lut0 = np.full(2, 1, np.int32)
+    lut0[0] = 0
+    root_hist = src.hist(node_of_row, lut0, 1)[0]
+    return node_of_row, root_hist
 
-    g_np = np.asarray(g_d)
-    h_np = np.asarray(h_d)
+
+def _partition_rows(node_of_row, tb: _TreeBuilder, src, nan_bin):
+    """Vectorised split application: one gather of each row's own node's
+    split feature — replaces the per-node O(N) mask scans of VERDICT r1
+    weak #8."""
+    fa = np.asarray(tb.feature, np.int32)
+    th = np.asarray(tb.threshold, np.int32)
+    nl = np.asarray(tb.nan_left, bool)
+    la = np.asarray(tb.left, np.int32)
+    ra = np.asarray(tb.right, np.int32)
+    safe = np.maximum(node_of_row, 0)
+    frow = np.where(node_of_row >= 0, fa[safe], -1)
+    has = frow >= 0
+    fbins = src.row_feature_bins(frow)
+    go_left = (fbins <= th[safe]) | (nl[safe] & (fbins == nan_bin))
+    return np.where(
+        has, np.where(go_left, la[safe], ra[safe]), node_of_row
+    ).astype(np.int32)
+
+
+def _grow_depthwise(cfg, N, src, g_np, h_np, row_mask, feat_mask) -> Tree:
+    nan_bin = cfg.n_bins - 1
+    tb = _TreeBuilder()
+    node_of_row, root_hist = _root_state(cfg, N, src, row_mask)
+    hist_of = {0: root_hist}
+    active = [0]
 
     for depth in range(cfg.max_depth):
         if not active:
             break
-        compact = {nid: i for i, nid in enumerate(active)}
-        M = len(active)
-        comp_of_row = np.full(N, M, np.int32)  # M = trash slot
-        for nid, i in compact.items():
-            comp_of_row[node_of_row == nid] = i
+        hists = np.stack([hist_of[nid] for nid in active])
+        gains, feats, bins_, nan_lefts = _masked_best_splits(
+            hists, feat_mask, cfg)
+        g_tots, h_tots = _node_totals(hists)
 
-        hist = np.array(
-            _histogram(
-                jnp.asarray(comp_of_row), bin_ids_d, g_d, h_d, M + 1, cfg.n_bins
-            )
-        )[:M]
-        hist[:, ~feat_mask, :, :] = 0.0
-        gains, feats, bins, nan_lefts, g_tots, h_tots = (
-            np.asarray(t)
-            for t in _best_splits(
-                jnp.asarray(hist),
-                cfg.reg_lambda,
-                cfg.reg_alpha,
-                cfg.gamma,
-                cfg.min_child_hess,
-            )
-        )
-
-        next_active = []
-        bin_np = np.asarray(bin_ids_d)
-        nan_bin = cfg.n_bins - 1
+        splits = []  # (nid, lid, rid)
         for i, nid in enumerate(active):
             if not np.isfinite(gains[i]) or gains[i] <= 0:
-                value[nid] = _leaf_value(g_tots[i], h_tots[i], cfg)
+                tb.value[nid] = _leaf_value(g_tots[i], h_tots[i], cfg)
+                hist_of.pop(nid, None)
                 continue
-            f, b = int(feats[i]), int(bins[i])
-            nl = bool(nan_lefts[i])
-            lid, rid = len(feature), len(feature) + 1
-            feature.extend([-1, -1])
-            threshold.extend([0, 0])
-            left.extend([-1, -1])
-            right.extend([-1, -1])
-            value.extend([0.0, 0.0])
-            nan_left.extend([False, False])
-            feature[nid] = f
-            threshold[nid] = b
-            left[nid] = lid
-            right[nid] = rid
-            nan_left[nid] = nl
-            rows = node_of_row == nid
-            fbins = bin_np[:, f]
-            # threshold candidates never include the NaN bin, so routing
-            # missing left is exactly the extra (fbins == nan_bin) clause
-            goes_left = rows & (
-                (fbins <= b) | (nl & (fbins == nan_bin))
-            )
-            node_of_row[goes_left] = lid
-            node_of_row[rows & ~goes_left] = rid
-            if depth + 1 < cfg.max_depth:
-                next_active.extend([lid, rid])
-            else:
-                for cid in (lid, rid):
-                    rsel = node_of_row == cid
-                    value[cid] = _leaf_value(g_np[rsel].sum(), h_np[rsel].sum(), cfg)
-        active = next_active
+            lid, rid = tb.add_children(
+                nid, int(feats[i]), int(bins_[i]), bool(nan_lefts[i]))
+            splits.append((nid, lid, rid))
+        if not splits:
+            active = []
+            break
 
-    # any still-active nodes at loop end got leaf values above
-    return Tree(
-        feature=np.asarray(feature, np.int32),
-        threshold=np.asarray(threshold, np.int32),
-        left=np.asarray(left, np.int32),
-        right=np.asarray(right, np.int32),
-        value=np.asarray(value, np.float32),
-        nan_left=np.asarray(nan_left, bool),
-    )
+        node_of_row = _partition_rows(node_of_row, tb, src, nan_bin)
+        n_nodes = len(tb.feature)
+
+        if depth + 1 >= cfg.max_depth:
+            valid = node_of_row >= 0
+            nv = node_of_row[valid]
+            gs = np.bincount(nv, weights=g_np[valid], minlength=n_nodes)
+            hs = np.bincount(nv, weights=h_np[valid], minlength=n_nodes)
+            for nid, lid, rid in splits:
+                tb.value[lid] = _leaf_value(gs[lid], hs[lid], cfg)
+                tb.value[rid] = _leaf_value(gs[rid], hs[rid], cfg)
+                hist_of.pop(nid, None)
+            active = []
+            break
+
+        # histogram subtraction: recompute only the smaller child of each
+        # split; sibling = parent - child (halves device scatter work)
+        counts = np.bincount(
+            node_of_row[node_of_row >= 0], minlength=n_nodes)
+        direct = [
+            lid if counts[lid] <= counts[rid] else rid
+            for nid, lid, rid in splits
+        ]
+        lut = np.full(n_nodes + 1, len(direct), np.int32)
+        lut[direct] = np.arange(len(direct))
+        dh = src.hist(node_of_row, lut, len(direct))
+        for j, (nid, lid, rid) in enumerate(splits):
+            d = direct[j]
+            s = rid if d == lid else lid
+            hist_of[d] = dh[j]
+            hist_of[s] = hist_of[nid] - dh[j]
+            hist_of.pop(nid)
+        active = [c for _, lid, rid in splits for c in (lid, rid)]
+
+    return tb.finish()
+
+
+def _grow_lossguide(cfg, N, src, g_np, h_np, row_mask, feat_mask) -> Tree:
+    """Leaf-wise growth: always split the leaf with the largest gain, up to
+    max_leaves (LightGBM's loss-guide policy; depth still capped)."""
+    nan_bin = cfg.n_bins - 1
+    max_leaves = cfg.max_leaves or (1 << cfg.max_depth)
+    tb = _TreeBuilder()
+    node_of_row, root_hist = _root_state(cfg, N, src, row_mask)
+    hist_of = {0: root_hist}
+    depth_of = {0: 0}
+
+    def evaluate(nids):
+        """Best split + tentative leaf value for each node id."""
+        hists = np.stack([hist_of[n] for n in nids])
+        gains, feats, bins_, nls = _masked_best_splits(hists, feat_mask, cfg)
+        g_tots, h_tots = _node_totals(hists)
+        out = []
+        for i, nid in enumerate(nids):
+            tb.value[nid] = _leaf_value(g_tots[i], h_tots[i], cfg)
+            splittable = (
+                np.isfinite(gains[i]) and gains[i] > 0
+                and depth_of[nid] < cfg.max_depth
+            )
+            out.append(
+                (float(gains[i]), int(feats[i]), int(bins_[i]), bool(nls[i]))
+                if splittable else None
+            )
+        return out
+
+    heap = []  # (-gain, seq, nid, f, b, nl)
+    seq = 0
+    (cand,) = evaluate([0])
+    if cand:
+        heap.append((-cand[0], seq, 0) + cand[1:])
+    n_leaves = 1
+
+    while heap and n_leaves < max_leaves:
+        _, _, nid, f, b, nl = heapq.heappop(heap)
+        lid, rid = tb.add_children(nid, f, b, nl)
+        depth_of[lid] = depth_of[rid] = depth_of[nid] + 1
+        n_leaves += 1
+
+        rows = node_of_row == nid
+        col = src.feature_bins(f)
+        go_left = rows & ((col <= b) | (nl & (col == nan_bin)))
+        node_of_row[go_left] = lid
+        node_of_row[rows & ~go_left] = rid
+
+        d = lid if go_left.sum() * 2 <= rows.sum() else rid
+        s = rid if d == lid else lid
+        lut = np.full(len(tb.feature) + 1, 1, np.int32)
+        lut[d] = 0
+        hist_of[d] = src.hist(node_of_row, lut, 1)[0]
+        hist_of[s] = hist_of[nid] - hist_of[d]
+        hist_of.pop(nid)
+
+        for cid, cand in zip((lid, rid), evaluate([lid, rid])):
+            if cand:
+                seq += 1
+                heapq.heappush(heap, (-cand[0], seq, cid) + cand[1:])
+
+    return tb.finish()
 
 
 def _predict_tree_binned(tree: Tree, bin_ids: np.ndarray, nan_bin: int) -> np.ndarray:
@@ -265,7 +517,7 @@ class GBM:
         rng = np.random.default_rng(cfg.seed)
         K = cfg.n_classes if cfg.n_classes > 2 else 1
         bin_ids, self.edges = quantile_bins(x, cfg.n_bins)
-        bin_ids_d = jnp.asarray(bin_ids)
+        src = _DenseSource(bin_ids, cfg.n_bins)
         N = x.shape[0]
         margin = np.zeros((N, K), np.float32)
 
@@ -292,9 +544,7 @@ class GBM:
                 row_mask[:] = True
             round_trees = []
             for k, (g, h) in enumerate(grads):
-                tree = _grow_tree(
-                    bin_ids_d, jnp.asarray(g), jnp.asarray(h), row_mask, cfg, rng
-                )
+                tree = _grow(cfg, N, src, g, h, row_mask, rng)
                 margin[:, k] += cfg.learning_rate * _predict_tree_binned(tree, bin_ids, cfg.n_bins - 1)
                 round_trees.append(tree)
             self.trees.append(round_trees)
@@ -359,31 +609,6 @@ class GBM:
 #     two-sweep _best_splits applies unchanged
 #   - split application/prediction materialise one feature column at a
 #     time from a CSC view (absent rows read bin B-1)
-
-
-@functools.partial(jax.jit, static_argnums=(6, 7, 8))
-def _sparse_histogram(comp_of_row, row_of_entry, col_of_entry, bin_of_entry,
-                      g, h, n_nodes, n_feats, n_bins):
-    """[M+1, F, B, 2] histograms from CSR entries + absent mass in bin B-1."""
-    comp_e = comp_of_row[row_of_entry]
-    flat = (
-        comp_e * (n_feats * n_bins)
-        + col_of_entry * n_bins
-        + bin_of_entry.astype(jnp.int32)
-    )
-    gh_e = jnp.stack([g[row_of_entry], h[row_of_entry]], axis=-1)
-    hist = (
-        jnp.zeros((n_nodes * n_feats * n_bins, 2), jnp.float32)
-        .at[flat].add(gh_e)
-        .reshape(n_nodes, n_feats, n_bins, 2)
-    )
-    tot = (
-        jnp.zeros((n_nodes, 2), jnp.float32)
-        .at[comp_of_row].add(jnp.stack([g, h], axis=-1))
-    )
-    absent = tot[:, None, :] - hist.sum(axis=2)          # [M+1, F, 2]
-    hist = hist.at[:, :, n_bins - 1, :].add(absent)
-    return hist
 
 
 class SparseGBM:
@@ -458,9 +683,10 @@ class SparseGBM:
         col, bins, row_of_entry = self._prepare(indptr, ids, vals)
         F = len(self.feats)
         csc = self._csc(col, bins, row_of_entry, F)
-        col_d = jnp.asarray(col)
-        bins_d = jnp.asarray(bins)
-        row_e_d = jnp.asarray(row_of_entry)
+        src = _SparseSource(
+            col, bins, row_of_entry, csc,
+            lambda f: self._feature_column(f, N, csc), F, cfg.n_bins,
+        )
 
         rng = np.random.default_rng(cfg.seed)
         K = cfg.n_classes if cfg.n_classes > 2 else 1
@@ -481,10 +707,7 @@ class SparseGBM:
                 row_mask[:] = True
             round_trees = []
             for k, (g, h) in enumerate(grads):
-                tree = self._grow_tree(
-                    N, F, col_d, bins_d, row_e_d, csc,
-                    jnp.asarray(g), jnp.asarray(h), g, h, row_mask, rng,
-                )
+                tree = _grow(cfg, N, src, g, h, row_mask, rng)
                 margin[:, k] += cfg.learning_rate * self._predict_tree(
                     tree, N, lambda f: self._feature_column(f, N, csc)
                 )
@@ -500,74 +723,6 @@ class SparseGBM:
                     log(f"sparse-gbm round {rnd}: "
                         f"acc={(margin.argmax(axis=1) == y).mean():.4f}")
         return self
-
-    def _grow_tree(self, N, F, col_d, bins_d, row_e_d, csc,
-                   g_d, h_d, g_np, h_np, row_mask, rng) -> Tree:
-        cfg = self.cfg
-        feat_mask = rng.random(F) < cfg.colsample
-        if not feat_mask.any():
-            feat_mask[rng.integers(F)] = True
-
-        feature, threshold = [-1], [0]
-        left, right = [-1], [-1]
-        value, nan_left = [0.0], [False]
-        node_of_row = np.where(row_mask, 0, -1).astype(np.int32)
-        active = [0]
-        nan_bin = cfg.n_bins - 1
-
-        for depth in range(cfg.max_depth):
-            if not active:
-                break
-            M = len(active)
-            comp_of_row = np.full(N, M, np.int32)
-            for i, nid in enumerate(active):
-                comp_of_row[node_of_row == nid] = i
-            hist = np.array(_sparse_histogram(
-                jnp.asarray(comp_of_row), row_e_d, col_d, bins_d,
-                g_d, h_d, M + 1, F, cfg.n_bins,
-            ))[:M]
-            hist[:, ~feat_mask, :, :] = 0.0
-            gains, feats, bins_, nan_lefts, g_tots, h_tots = (
-                np.asarray(t) for t in _best_splits(
-                    jnp.asarray(hist), cfg.reg_lambda, cfg.reg_alpha,
-                    cfg.gamma, cfg.min_child_hess,
-                )
-            )
-            next_active = []
-            for i, nid in enumerate(active):
-                if not np.isfinite(gains[i]) or gains[i] <= 0:
-                    value[nid] = _leaf_value(g_tots[i], h_tots[i], cfg)
-                    continue
-                f, b = int(feats[i]), int(bins_[i])
-                nl = bool(nan_lefts[i])
-                lid, rid = len(feature), len(feature) + 1
-                feature.extend([-1, -1]); threshold.extend([0, 0])
-                left.extend([-1, -1]); right.extend([-1, -1])
-                value.extend([0.0, 0.0]); nan_left.extend([False, False])
-                feature[nid], threshold[nid] = f, b
-                left[nid], right[nid], nan_left[nid] = lid, rid, nl
-                rows = node_of_row == nid
-                fbins = self._feature_column(f, N, csc)
-                goes_left = rows & ((fbins <= b) | (nl & (fbins == nan_bin)))
-                node_of_row[goes_left] = lid
-                node_of_row[rows & ~goes_left] = rid
-                if depth + 1 < cfg.max_depth:
-                    next_active.extend([lid, rid])
-                else:
-                    for cid in (lid, rid):
-                        rsel = node_of_row == cid
-                        value[cid] = _leaf_value(
-                            g_np[rsel].sum(), h_np[rsel].sum(), cfg)
-            active = next_active
-
-        return Tree(
-            feature=np.asarray(feature, np.int32),
-            threshold=np.asarray(threshold, np.int32),
-            left=np.asarray(left, np.int32),
-            right=np.asarray(right, np.int32),
-            value=np.asarray(value, np.float32),
-            nan_left=np.asarray(nan_left, bool),
-        )
 
     # ---- prediction ------------------------------------------------
 

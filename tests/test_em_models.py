@@ -265,3 +265,71 @@ def test_gbm_multiclass():
                     n_classes=3, seed=0)
     model = GBM(cfg).fit(x, y)
     assert (model.predict(x) == y).mean() > 0.85
+
+
+def test_gbm_lossguide_policy():
+    """Leaf-wise (best-gain-first) growth with a leaf budget reaches the
+    same quality as depthwise on separable data and respects max_leaves."""
+    rng = np.random.default_rng(0)
+    n = 600
+    x = rng.normal(size=(n, 10)).astype(np.float32)
+    y = ((x[:, 0] + x[:, 1] * x[:, 2]) > 0).astype(np.float32)
+    cfg = GBMConfig(n_rounds=20, max_depth=6, learning_rate=0.3,
+                    subsample=1.0, colsample=1.0, n_classes=2, seed=0,
+                    grow_policy="lossguide", max_leaves=16)
+    model = GBM(cfg).fit(x, y)
+    p = model.predict_proba(x)[:, 1]
+    assert ((p > 0.5) == y).mean() > 0.9
+    for rt in model.trees:
+        for t in rt:
+            n_leaves = int((t.feature < 0).sum())
+            assert n_leaves <= 16
+
+
+def test_sparse_gbm_lossguide():
+    from lightctr_tpu.models.gbm import SparseGBM
+
+    rng = np.random.default_rng(0)
+    n, F = 400, 8
+    x = rng.normal(size=(n, F)).astype(np.float32)
+    y = ((x[:, 0] + x[:, 1] * x[:, 2]) > 0).astype(np.float32)
+    indptr = np.arange(n + 1) * F
+    ids = np.tile(np.arange(F), n)
+    vals = x.reshape(-1)
+    cfg = GBMConfig(n_rounds=10, max_depth=6, subsample=1.0, colsample=1.0,
+                    n_classes=2, seed=0, grow_policy="lossguide",
+                    max_leaves=12)
+    model = SparseGBM(cfg).fit((indptr, ids, vals), y)
+    p = model.predict_proba((indptr, ids, vals))[:, 1]
+    assert ((p > 0.5) == y).mean() > 0.85
+
+
+def test_gbm_leaf_values_survive_feature0_colsample():
+    """Regression: node totals must come from RAW histograms. When
+    colsample masks feature 0, the old code read the masked feature-0
+    column for (G, H) totals and emitted 0-valued leaves."""
+    from lightctr_tpu.models.gbm import _DenseSource, _grow, quantile_bins
+
+    class RiggedRng:
+        """Feature mask excludes feature 0, keeps feature 1."""
+
+        def random(self, n):
+            return np.array([1.0] + [0.0] * (n - 1))  # 1.0 >= colsample
+
+        def integers(self, n):
+            return 1
+
+    n = 64
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(n, 2)).astype(np.float32)
+    y = (x[:, 1] > 0).astype(np.float32)
+    g = (0.5 - y).astype(np.float32)       # sigmoid(0) - y
+    h = np.full(n, 0.25, np.float32)
+    # gamma so high nothing splits: the tree is a single leaf
+    cfg = GBMConfig(max_depth=3, colsample=0.5, gamma=1e9, n_classes=2)
+    bin_ids, _ = quantile_bins(x, cfg.n_bins)
+    src = _DenseSource(bin_ids, cfg.n_bins)
+    tree = _grow(cfg, n, src, g, h, np.ones(n, bool), RiggedRng())
+    assert tree.feature[0] == -1           # root stayed a leaf
+    expected = -g.sum() / (h.sum() + cfg.reg_lambda)
+    np.testing.assert_allclose(tree.value[0], expected, rtol=1e-5)
