@@ -160,6 +160,10 @@ def main(argv=None):
     e.add_argument("--window", type=int, default=6)
     e.add_argument("--epochs", type=int, default=5)
     e.add_argument("--mode", default="negative", choices=["negative", "hsoftmax"])
+    e.add_argument("--stream", action="store_true",
+                   help="stream the corpus in chunks (larger-than-memory "
+                        "corpora; windows do not span chunk boundaries)")
+    e.add_argument("--chunk-tokens", type=int, default=1 << 20)
     e.add_argument("--out", default=None)
 
     args = p.parse_args(argv)
@@ -420,11 +424,19 @@ def _run_aux_command(args):
         from .models import embedding as emb
 
         words, counts = emb.load_vocab(args.vocab)
-        tokens = tokens_from_text(args.text, words)
         cfg = emb.CBOWConfig(vocab_size=len(words), dim=args.dim,
                              window=args.window, mode=args.mode)
-        params = emb.train_cbow(tokens, counts, cfg, epochs=args.epochs,
-                                log=print)
+        if args.stream:
+            from .data.prep import token_chunks_from_text
+
+            params = emb.train_cbow_streaming(
+                lambda ep: token_chunks_from_text(
+                    args.text, words, args.chunk_tokens),
+                counts, cfg, epochs=args.epochs, log=print)
+        else:
+            tokens = tokens_from_text(args.text, words)
+            params = emb.train_cbow(tokens, counts, cfg, epochs=args.epochs,
+                                    log=print)
         if args.out:
             emb.save_embeddings(args.out, params, words)
             print(f"embeddings -> {args.out}")

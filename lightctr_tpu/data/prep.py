@@ -71,3 +71,25 @@ def tokens_from_text(path_or_text: str, vocab: list[str], is_path: bool = True):
     index = {w: i for i, w in enumerate(vocab)}
     toks = _TOKEN_RE.findall(text.lower())
     return np.asarray([index[t] for t in toks if t in index], np.int64)
+
+
+def token_chunks_from_text(path: str, vocab: list[str],
+                           chunk_tokens: int = 1 << 20):
+    """Stream a corpus file as token-id chunks of ~chunk_tokens each,
+    WITHOUT loading the file into memory (the reference streams its corpus
+    per thread-range the same way, train_embed_algo.h loadDataRow). Context
+    windows do not span chunk boundaries — the same approximation the
+    reference makes at thread-range boundaries."""
+    index = {w: i for i, w in enumerate(vocab)}
+    buf: list[int] = []
+    with open(path) as f:
+        for line in f:
+            for t in _TOKEN_RE.findall(line.lower()):
+                i = index.get(t)
+                if i is not None:
+                    buf.append(i)
+            if len(buf) >= chunk_tokens:
+                yield np.asarray(buf[:chunk_tokens], np.int64)
+                buf = buf[chunk_tokens:]
+    if buf:
+        yield np.asarray(buf, np.int64)

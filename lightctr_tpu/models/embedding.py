@@ -242,6 +242,82 @@ def train_cbow(
     return params
 
 
+def train_cbow_streaming(
+    chunks_factory,
+    counts: np.ndarray,
+    cfg: CBOWConfig,
+    epochs: int = 5,
+    batch_size: int = 1024,
+    learning_rate: float = 0.05,
+    log=None,
+) -> dict:
+    """CBOW training over a STREAMED corpus: chunks_factory(epoch) yields
+    token-id chunks (e.g. data/prep.token_chunks_from_text), so corpora
+    larger than memory train with the same math as train_cbow. Example
+    building, subsampling, and negative sampling run on the Prefetcher
+    thread; the device sees one fixed [batch_size] shape (one compile).
+    Leftover examples carry across chunks; the sub-batch tail of an epoch
+    is dropped (same policy as train_cbow's stride loop)."""
+    from ..data.pipeline import Prefetcher
+
+    rng_np = np.random.default_rng(cfg.seed)
+    params = init(jax.random.PRNGKey(cfg.seed), cfg)
+    tx = optim.adagrad(learning_rate)
+    opt_state = tx.init(params)
+
+    if cfg.mode == "hsoftmax":
+        tree = tuple(jnp.asarray(t) for t in build_huffman(counts))
+        unigram = None
+
+        def loss_fn(p, b):
+            return hsoftmax_loss(p, b, cfg, tree)
+    else:
+        unigram = build_unigram_table(counts)
+
+        def loss_fn(p, b):
+            return negative_sampling_loss(p, b, cfg, None)
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optim.apply_updates(params, updates), opt_state, loss
+
+    def batches(epoch):
+        carry = None  # (centers, ctx, mask) leftovers across chunks
+        for tokens in chunks_factory(epoch):
+            tokens = subsample_corpus(tokens, counts, cfg.subsample_t, rng_np)
+            if len(tokens) < 2:
+                continue
+            c, x, m = make_cbow_examples(tokens, cfg.window)
+            if carry is not None:
+                c = np.concatenate([carry[0], c])
+                x = np.concatenate([carry[1], x])
+                m = np.concatenate([carry[2], m])
+            order = rng_np.permutation(len(c))
+            n_full = (len(c) // batch_size) * batch_size
+            for s0 in range(0, n_full, batch_size):
+                idx = order[s0:s0 + batch_size]
+                b = {"centers": c[idx], "ctx": x[idx], "mask": m[idx]}
+                if unigram is not None:
+                    b["neg"] = rng_np.choice(
+                        cfg.vocab_size, size=(batch_size, cfg.n_negatives),
+                        p=unigram).astype(np.int32)
+                yield b
+            tail = order[n_full:]
+            carry = (c[tail], x[tail], m[tail]) if len(tail) else None
+
+    pf = Prefetcher(batches)
+    for epoch in range(epochs):
+        losses = []
+        for batch in pf.epoch(epoch):
+            params, opt_state, loss = step(params, opt_state, batch)
+            losses.append(float(loss))
+        if log and losses:
+            log(f"cbow epoch {epoch}: loss={np.mean(losses):.4f}")
+    return params
+
+
 def normalized_embeddings(params) -> jax.Array:
     """L2-normalised embedding matrix (reference saves normalised vectors,
     train_embed_algo.cpp:88-94)."""

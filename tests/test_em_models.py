@@ -333,3 +333,50 @@ def test_gbm_leaf_values_survive_feature0_colsample():
     assert tree.feature[0] == -1           # root stayed a leaf
     expected = -g.sum() / (h.sum() + cfg.reg_lambda)
     np.testing.assert_allclose(tree.value[0], expected, rtol=1e-5)
+
+
+def test_cbow_streaming_matches_quality():
+    """Streamed chunked corpus (train_cbow_streaming) learns the same
+    pair structure as the in-memory trainer."""
+    rng = np.random.default_rng(0)
+    V = 20
+    pairs = rng.integers(0, V // 2, size=4000)
+    tokens = np.empty(8000, np.int64)
+    tokens[0::2] = pairs * 2
+    tokens[1::2] = pairs * 2 + 1
+    counts = np.bincount(tokens, minlength=V)
+    cfg = emb.CBOWConfig(vocab_size=V, dim=16, window=1, n_negatives=5,
+                         subsample_t=1e9, seed=0)
+
+    def chunks(epoch):
+        # 5 chunks per epoch, boundaries aligned to pairs
+        for s in range(0, len(tokens), 1600):
+            yield tokens[s:s + 1600]
+
+    params = emb.train_cbow_streaming(chunks, counts, cfg, epochs=10,
+                                      batch_size=256, learning_rate=0.5)
+    e = np.asarray(params["emb"])
+    o = np.asarray(params["out"])
+    e = e / np.linalg.norm(e, axis=1, keepdims=True).clip(1e-12)
+    o = np.linalg.norm(o, axis=1, keepdims=True).clip(1e-12) ** -1 * o
+    cross = e @ o.T
+    partner = np.mean(
+        [cross[2 * i, 2 * i + 1] for i in range(V // 2)]
+        + [cross[2 * i + 1, 2 * i] for i in range(V // 2)]
+    )
+    off = (cross.sum() - np.trace(cross)) / (V * V - V)
+    assert partner > off + 0.2
+
+
+def test_token_chunks_from_text(tmp_path):
+    from lightctr_tpu.data.prep import token_chunks_from_text, tokens_from_text
+
+    vocab = ["alpha", "beta", "gamma"]
+    text = ("alpha beta unknown gamma " * 50 + "\n") * 8
+    p = tmp_path / "corpus.txt"
+    p.write_text(text)
+    whole = tokens_from_text(str(p), vocab)
+    chunks = list(token_chunks_from_text(str(p), vocab, chunk_tokens=100))
+    assert len(chunks) > 3
+    assert all(len(c) <= 100 for c in chunks[:-1])
+    np.testing.assert_array_equal(np.concatenate(chunks), whole)
