@@ -208,6 +208,161 @@ def blocked_scatter_add(
 
 
 # ---------------------------------------------------------------------------
+# Fine-granularity window variants: the window advances in WTILE=128-row
+# blocks instead of TILE-row blocks, so a TILE-position tile reads
+# n_win*128 window rows (n_win = ceil((TILE+127)/128), e.g. 5x128=640 for
+# TILE=512 instead of 2x512=1024) — ~37% fewer one-hot compares and a
+# smaller matmul K dimension. The scatter generalises the even/odd parity
+# scheme to mod-n_win residue outputs: output j holds the blocks with
+# index % n_win == j; a tile's n_win consecutive window blocks have
+# distinct residues, and within a residue class the visited block index is
+# non-decreasing (revisit-friendly accumulation).
+
+
+WTILE = 128
+
+
+def _fine_tile_base(ranks_sorted, n_rows: int, n_win: int, tile: int):
+    """Per-tile window start in WTILE units, clamped so the window fits."""
+    return jnp.minimum(
+        ranks_sorted[::tile] // WTILE, n_rows // WTILE - n_win
+    ).astype(jnp.int32)
+
+
+def _gather_fine_kernel(base_ref, ranks_ref, *refs, n_win: int, tile: int,
+                        cdt=jnp.bfloat16):
+    rows_refs, out_ref = refs[:-1], refs[-1]
+    t = pl.program_id(0)
+    base = base_ref[t] * WTILE
+    local = ranks_ref[...] - base                     # [T, 1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tile, n_win * WTILE), 1)
+    onehot = (local == iota).astype(cdt)
+    window = jnp.concatenate([r[...] for r in rows_refs], axis=0)
+    out_ref[...] = jax.lax.dot_general(
+        onehot, window,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_win", "tile", "interpret", "exact"))
+def blocked_gather_fine(rows, ranks_sorted, tile_base, n_win: int = 5,
+                        tile: int = TILE, interpret: bool = False,
+                        exact: bool = False):
+    """blocked_gather with an n_win x WTILE window. tile_base is in WTILE
+    units (use _fine_tile_base). Requires n_win * WTILE >= tile + WTILE - 1
+    and rows.shape[0] % WTILE == 0."""
+    n = ranks_sorted.shape[0]
+    n_tiles = n // tile
+    D = rows.shape[1]
+    cdt = jnp.float32 if exact else jnp.bfloat16
+    rows_c = rows.astype(cdt)
+
+    def rows_spec(i):
+        return pl.BlockSpec((WTILE, D), lambda t, base, i=i: (base[t] + i, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((tile, 1), lambda t, base: (t, 0))]
+        + [rows_spec(i) for i in range(n_win)],
+        out_specs=pl.BlockSpec((tile, D), lambda t, base: (t, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_gather_fine_kernel, n_win=n_win, tile=tile,
+                          cdt=cdt),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, D), jnp.float32),
+        interpret=interpret,
+    )(tile_base, ranks_sorted.reshape(n, 1), *([rows_c] * n_win))
+
+
+def _scatter_fine_kernel(base_ref, ranks_ref, g_ref, *out_refs, n_win: int,
+                         tile: int, cdt=jnp.bfloat16):
+    t = pl.program_id(0)
+    b = base_ref[t]
+    prev = base_ref[jnp.maximum(t - 1, 0)]
+    local = ranks_ref[...] - b * WTILE
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tile, n_win * WTILE), 1)
+    onehot = (local == iota).astype(cdt)
+    contrib = jax.lax.dot_general(
+        onehot, g_ref[...],
+        dimension_numbers=(((0,), (0,)), ((), ())),   # [n_win*W, D]
+        preferred_element_type=jnp.float32,
+    )
+    for j in range(n_win):
+        off_j = jnp.mod(j - b, n_win)                 # window slot of res j
+        blk_j = b + off_j
+        prev_blk = prev + jnp.mod(j - prev, n_win)
+
+        def _zero(j=j):
+            out_refs[j][...] = jnp.zeros_like(out_refs[j])
+
+        pl.when((t == 0) | (blk_j != prev_blk))(_zero)
+        chunk = jnp.zeros((WTILE, contrib.shape[1]), jnp.float32)
+        for i in range(n_win):
+            chunk = jnp.where(
+                off_j == i, contrib[i * WTILE:(i + 1) * WTILE], chunk)
+        out_refs[j][...] += chunk
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_rows", "n_win", "tile", "interpret", "exact"))
+def blocked_scatter_add_fine(g_sorted, ranks_sorted, tile_base, n_rows: int,
+                             n_win: int = 5, tile: int = TILE,
+                             interpret: bool = False, exact: bool = False):
+    """blocked_scatter_add with an n_win x WTILE window (mod-n_win residue
+    outputs). n_rows % (n_win * WTILE) == 0; tile_base in WTILE units."""
+    n = ranks_sorted.shape[0]
+    n_tiles = n // tile
+    D = g_sorted.shape[1]
+    n_blocks = n_rows // WTILE
+    assert n_blocks % n_win == 0, (
+        f"n_rows={n_rows} must be a multiple of {n_win * WTILE}")
+    per = n_blocks // n_win
+    cdt = jnp.float32 if exact else jnp.bfloat16
+    g_c = g_sorted.astype(cdt)
+
+    def out_spec(j):
+        def imap(t, base, j=j):
+            b = base[t]
+            return ((b + jnp.mod(j - b, n_win)) // n_win, 0)
+
+        return pl.BlockSpec((WTILE, D), imap)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, 1), lambda t, base: (t, 0)),
+            pl.BlockSpec((tile, D), lambda t, base: (t, 0)),
+        ],
+        out_specs=tuple(out_spec(j) for j in range(n_win)),
+    )
+    outs = pl.pallas_call(
+        functools.partial(_scatter_fine_kernel, n_win=n_win, tile=tile,
+                          cdt=cdt),
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((n_rows // n_win, D), jnp.float32)
+            for _ in range(n_win)
+        ),
+        interpret=interpret,
+    )(tile_base, ranks_sorted.reshape(n, 1), g_c)
+
+    # mask untouched blocks (buffers hold garbage where no tile mapped)
+    touched = jnp.zeros((n_blocks,), jnp.bool_).at[
+        (tile_base[:, None] + jnp.arange(n_win)[None, :]).reshape(-1)
+    ].set(True)                                        # [n_blocks]
+    touched = touched.reshape(per, n_win)              # [q, residue]
+    stacked = jnp.stack([o.reshape(per, WTILE, D) for o in outs], axis=1)
+    stacked = jnp.where(touched[:, :, None, None], stacked, 0.0)
+    return stacked.reshape(n_rows, D)
+
+
+# ---------------------------------------------------------------------------
 # Host-side batch planning (sorted layout + tile metadata)
 
 

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .embedding_pallas import TILE, blocked_scatter_add
+from .embedding_pallas import TILE, WTILE, blocked_scatter_add
 
 D = 16   # packed row width: [w, v(K<=15), pad]
 S = 32   # terms/duals width
@@ -124,6 +124,99 @@ def fm_forward(rows, ranks_sorted, rowid_sorted, xv_sorted, tile_base,
         xv_sorted.astype(jnp.float32).reshape(n, 1),
         rows16,
         rows16,
+    )
+
+
+def _fwd_fine_kernel(base_ref, ranks_ref, rowid_ref, xv_ref, *refs,
+                     n_k: int, b_pad: int, n_win: int, tile: int,
+                     cdt=jnp.bfloat16):
+    rows_refs = refs[:n_win]
+    rowsum_ref, epos_ref = refs[n_win], refs[n_win + 1]
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        rowsum_ref[...] = jnp.zeros_like(rowsum_ref)
+
+    base = base_ref[t] * WTILE
+    local = ranks_ref[...] - base                         # [T, 1]
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (tile, n_win * WTILE), 1)
+    onehot_rank = (local == iota_r).astype(cdt)
+    window = jnp.concatenate([r[...] for r in rows_refs], axis=0)
+    e = jax.lax.dot_general(
+        onehot_rank, window,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                     # [T, D]
+    epos_ref[...] = e
+
+    xv = xv_ref[...]                                      # [T, 1]
+    w = e[:, 0:1]
+    v = e[:, 1:1 + n_k]
+    wx = w * xv
+    vx = v * xv
+    vx2 = vx * vx
+    pad = jnp.zeros((tile, S - 1 - 2 * n_k), jnp.float32)
+    terms = jnp.concatenate([wx, vx, vx2, pad], axis=1)   # [T, S]
+
+    rid = rowid_ref[...]                                  # [T, 1]
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (tile, b_pad), 1)
+    onehot_row = (rid == iota_b).astype(cdt)              # [T, Bp]
+    rowsum_ref[...] += jax.lax.dot_general(
+        onehot_row, terms.astype(cdt),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_k", "b_pad", "n_win", "tile", "interpret", "exact"))
+def fm_forward_fine(rows, ranks_sorted, rowid_sorted, xv_sorted, tile_base,
+                    n_k: int, b_pad: int, n_win: int = 5, tile: int = TILE,
+                    interpret: bool = False, exact: bool = False):
+    """fm_forward with an n_win x WTILE=128 rank window (tile_base in
+    WTILE units): ~37% fewer one-hot compares / matmul MACs at the default
+    TILE=512 (window 640 rows vs 1024)."""
+    n = ranks_sorted.shape[0]
+    n_tiles = n // tile
+    cdt = jnp.float32 if exact else jnp.bfloat16
+    rows_c = rows.astype(cdt)
+    D_ = rows.shape[1]
+
+    def rows_spec(i):
+        return pl.BlockSpec((WTILE, D_),
+                            lambda t, base, i=i: (base[t] + i, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, 1), lambda t, base: (t, 0)),
+            pl.BlockSpec((tile, 1), lambda t, base: (t, 0)),
+            pl.BlockSpec((tile, 1), lambda t, base: (t, 0)),
+        ] + [rows_spec(i) for i in range(n_win)],
+        out_specs=(
+            pl.BlockSpec((b_pad, S), lambda t, base: (0, 0)),
+            pl.BlockSpec((tile, D_), lambda t, base: (t, 0)),
+        ),
+    )
+    kernel = functools.partial(_fwd_fine_kernel, n_k=n_k, b_pad=b_pad,
+                               n_win=n_win, tile=tile, cdt=cdt)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b_pad, S), jnp.float32),
+            jax.ShapeDtypeStruct((n, D_), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        tile_base,
+        ranks_sorted.reshape(n, 1),
+        rowid_sorted.reshape(n, 1),
+        xv_sorted.astype(jnp.float32).reshape(n, 1),
+        *([rows_c] * n_win),
     )
 
 
