@@ -129,10 +129,10 @@ def main():
     batch_size = len(ds)  # full-batch, like the reference (train_fm_algo.cpp:38)
 
     cfg = fm_kernel.KernelFMConfig(
-        n_features=ds.n_features, factor=8, learning_rate=0.05
+        n_features=ds.n_features, factor=8, learning_rate=0.05, fine=True
     )
     plan = fm_kernel.plan_batch(
-        ds.ids.astype(np.int64), ds.vals, ds.mask, ds.labels
+        ds.ids.astype(np.int64), ds.vals, ds.mask, ds.labels, fine=True
     )
     state = fm_kernel.init(jax.random.PRNGKey(0), cfg, plan)
     step = fm_kernel.make_train_step(cfg, plan)
@@ -156,9 +156,11 @@ def main():
         sys.exit(1)
 
     # roofline estimate: the step's 4 one-hot matmuls (gather, row-reduce,
-    # duals-gather, scatter) over the trimmed sorted layout
+    # duals-gather, scatter) over the trimmed sorted layout (fine=True:
+    # 5x128-row windows instead of 2x512)
     n = plan.ranks_sorted.shape[0]
-    macs = 2 * n * (2 * TILE * D + plan.b_pad * S)
+    window = 5 * 128 if cfg.fine else 2 * TILE
+    macs = 2 * n * (window * D + plan.b_pad * S)
     mxu_util = (2 * macs / dt) / V5E_BF16_PEAK_FLOPS * 100
 
     print(json.dumps({

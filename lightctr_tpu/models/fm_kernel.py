@@ -24,7 +24,13 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import fm_fused_pallas as K
-from ..ops.embedding_pallas import blocked_scatter_add, plan_sorted_layout
+from ..ops.embedding_pallas import (
+    TILE,
+    WTILE,
+    blocked_scatter_add,
+    blocked_scatter_add_fine,
+    plan_sorted_layout,
+)
 from ..ops.run_ops import plan_runs, run_broadcast, run_scatter_add
 
 
@@ -58,6 +64,12 @@ class KernelFMConfig:
     # scatter) as ONE two-phase pallas_call (ops/fm_fused_pallas.py
     # fm_fused_step) — no e_pos/duals/dwv HBM round-trips, one dispatch.
     fused: bool = False
+    # fine=True uses 5x128-row gather/scatter windows instead of 2x512
+    # (ops/embedding_pallas.blocked_*_fine): ~37% fewer one-hot MACs,
+    # measured +3% step time on v5e with exact-identical losses
+    # (benchmarks/bench_fine_windows.py). Needs a plan built with
+    # plan_batch(..., fine=True) (n_rows_pad % 640 == 0).
+    fine: bool = False
 
 
 class KernelFMState(NamedTuple):
@@ -86,28 +98,40 @@ class BatchPlan:
     n_rows_pad: int
     b_pad: int
     n_valid_rows: float
+    tile_base_fine: jax.Array | None = None  # WTILE-unit bases (fine=True)
 
 
 def plan_batch(ids, vals, mask, labels, row_mask=None, n_rows_pad=None,
-               trim=None) -> BatchPlan:
+               trim=None, fine=False) -> BatchPlan:
     """Host-side batch planning. ids/vals/mask: [B, L] numpy.
 
     trim: drop the masked tail of the sorted position arrays (see
     plan_sorted_layout) — on for one-shot/full-batch plans (27% less
     kernel work on the bundled data), OFF when n_rows_pad is given
-    (streaming plans must keep batch-independent static shapes)."""
+    (streaming plans must keep batch-independent static shapes).
+
+    fine: also emit WTILE-unit window bases (tile_base_fine) and size the
+    rank space for the 5x128-window kernels (cfg.fine=True)."""
     B, L = ids.shape
     if trim is None:
         trim = n_rows_pad is None
     if row_mask is None:
         row_mask = np.ones((B,), np.float32)
     xv = (vals * mask).astype(np.float32)
-    plan = plan_sorted_layout(ids, mask, n_rows_pad, trim=trim)
+    plan = plan_sorted_layout(ids, mask, n_rows_pad, trim=trim,
+                              n_rows_multiple=5 * WTILE if fine else None)
     perm = plan["perm"]
     rowid_sorted = (perm // L).astype(np.int32)
     # batch padding: lane-aligned
     b_pad = max(((B + 127) // 128) * 128, 128)
     start_pos, last_pos = plan_runs(plan["ranks_sorted"], plan["n_rows_pad"])
+    tbf = None
+    if fine:
+        R = plan["n_rows_pad"]
+        assert R % (5 * WTILE) == 0, f"fine plan needs R%640==0, got {R}"
+        tbf = jnp.asarray(np.minimum(
+            plan["ranks_sorted"][::TILE] // WTILE, R // WTILE - 5
+        ).astype(np.int32))
     return BatchPlan(
         ranks_sorted=jnp.asarray(plan["ranks_sorted"]),
         rowid_sorted=jnp.asarray(rowid_sorted),
@@ -122,6 +146,7 @@ def plan_batch(ids, vals, mask, labels, row_mask=None, n_rows_pad=None,
         n_rows_pad=plan["n_rows_pad"],
         b_pad=b_pad,
         n_valid_rows=float(row_mask.sum()),
+        tile_base_fine=tbf,
     )
 
 
@@ -148,6 +173,9 @@ def make_train_step(cfg: KernelFMConfig, plan: BatchPlan):
     R = plan.n_rows_pad
     interp = cfg.interpret
     B = plan.labels.shape[0]
+
+    if cfg.fine and plan.tile_base_fine is None:
+        raise ValueError("cfg.fine=True needs plan_batch(..., fine=True)")
 
     labels_p = jnp.zeros((b_pad,)).at[:B].set(plan.labels)
     rmask_p = jnp.zeros((b_pad,)).at[:B].set(plan.row_mask)
@@ -214,6 +242,12 @@ def make_train_step(cfg: KernelFMConfig, plan: BatchPlan):
                 plan.rowid_sorted, terms, b_pad=b_pad, interpret=interp,
                 exact=cfg.exact,
             )
+        elif cfg.fine:
+            rowsum, e_pos = K.fm_forward_fine(
+                state.rows, plan.ranks_sorted, plan.rowid_sorted,
+                plan.xv_sorted, plan.tile_base_fine, n_k=n_k, b_pad=b_pad,
+                n_win=5, interpret=interp, exact=cfg.exact,
+            )
         else:
             rowsum, e_pos = K.fm_forward(
                 state.rows, plan.ranks_sorted, plan.rowid_sorted,
@@ -243,6 +277,11 @@ def make_train_step(cfg: KernelFMConfig, plan: BatchPlan):
         )
         if cfg.runops:
             grad_rows = run_scatter_add(dwv_pos, plan.last_pos)
+        elif cfg.fine:
+            grad_rows = blocked_scatter_add_fine(
+                dwv_pos, plan.ranks_sorted, plan.tile_base_fine,
+                n_rows=R, n_win=5, interpret=interp, exact=cfg.exact,
+            )
         else:
             grad_rows = blocked_scatter_add(
                 dwv_pos, plan.ranks_sorted, plan.tile_base,

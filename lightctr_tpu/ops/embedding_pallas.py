@@ -22,6 +22,7 @@ Capability lineage: replaces the reference PS's per-key pull/push loops
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 
@@ -368,7 +369,7 @@ def blocked_scatter_add_fine(g_sorted, ranks_sorted, tile_base, n_rows: int,
 
 def plan_sorted_layout(
     ids: np.ndarray, valid: np.ndarray, n_rows_pad: int | None = None,
-    trim: bool = True,
+    trim: bool = True, n_rows_multiple: int | None = None,
 ) -> dict:
     """Plan a batch for the kernels. n_rows_pad (optional): unique-space
     size, multiple of 2*TILE, >= n_unique + TILE (the trailing block stays
@@ -399,7 +400,10 @@ def plan_sorted_layout(
     ranks = np.cumsum(is_new) - 1
     n_unique = int(is_new.sum())
     if n_rows_pad is None:
-        n_rows_pad = ((n_unique + TILE) + 2 * TILE - 1) // (2 * TILE) * (2 * TILE)
+        m = 2 * TILE
+        if n_rows_multiple:
+            m = math.lcm(m, n_rows_multiple)  # e.g. fine windows need %640
+        n_rows_pad = ((n_unique + TILE) + m - 1) // m * m
     assert n_rows_pad % (2 * TILE) == 0
     assert n_unique + TILE <= n_rows_pad, (
         f"n_rows_pad={n_rows_pad} too small for {n_unique} unique ids"

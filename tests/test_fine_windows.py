@@ -127,3 +127,49 @@ def test_fine_tile_base_window_covers_tile_ranks():
                 lo = tbf[t] * WTILE
                 assert chunk[real].min() >= lo
                 assert chunk[real].max() < lo + n_win * WTILE
+
+
+def test_kernel_fm_fine_matches_staged():
+    """cfg.fine=True (5x128 windows via plan_batch(fine=True)) must
+    reproduce the staged coarse path exactly in fp32-exact mode."""
+    rng = np.random.default_rng(7)
+    B, L, V, KF = 8, 128, 300, 4
+    ids = rng.integers(0, V, (B, L)).astype(np.int64)
+    ids[:, :16] = rng.integers(0, 8, (B, 16))
+    mask = (rng.random((B, L)) > 0.2).astype(np.float32)
+    vals = np.ones((B, L), np.float32)
+    labels = rng.integers(0, 2, (B,)).astype(np.float32)
+
+    import jax
+    cfg_s = fm_kernel.KernelFMConfig(
+        n_features=V, factor=KF, learning_rate=0.05, l2=1e-3,
+        interpret=True, exact=True)
+    cfg_f = dataclasses_replace(cfg_s, fine=True)
+    plan_s = fm_kernel.plan_batch(ids, vals, mask, labels)
+    plan_f = fm_kernel.plan_batch(ids, vals, mask, labels, fine=True)
+    assert plan_f.n_rows_pad % 640 == 0
+    st_s = fm_kernel.init(jax.random.PRNGKey(0), cfg_s, plan_s)
+    st_f = fm_kernel.init(jax.random.PRNGKey(0), cfg_f, plan_f)
+    # rank spaces may differ in padding size; align the common prefix
+    R = min(plan_s.n_rows_pad, plan_f.n_rows_pad)
+    rows = np.array(st_s.rows)
+    rows_f = np.array(st_f.rows)
+    rows_f[:R - 1] = rows[:R - 1]
+    rows_f[plan_f.n_rows_pad - 1] = 0.0
+    st_f = st_f._replace(rows=jnp.asarray(rows_f))
+    step_s = fm_kernel.make_train_step(cfg_s, plan_s)
+    step_f = fm_kernel.make_train_step(cfg_f, plan_f)
+    for i in range(5):
+        st_s, ls = step_s(st_s)
+        st_f, lf = step_f(st_f)
+        np.testing.assert_allclose(float(lf), float(ls), rtol=1e-6,
+                                   err_msg=f"step {i}")
+    n_u = plan_s.n_unique
+    np.testing.assert_allclose(np.asarray(st_f.rows)[:n_u],
+                               np.asarray(st_s.rows)[:n_u],
+                               rtol=1e-5, atol=1e-7)
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+    return dataclasses.replace(cfg, **kw)
