@@ -271,22 +271,26 @@ def make_train_step(cfg: KernelFMConfig, plan: BatchPlan):
             jnp.broadcast_to(dlogit[:, None], (b_pad, n_k))
         )
 
-        dwv_pos = K.fm_backward_positions(
-            plan.rowid_sorted, plan.xv_sorted, e_pos, duals,
-            n_k=n_k, b_pad=b_pad, interpret=interp, exact=cfg.exact,
-        )
-        if cfg.runops:
-            grad_rows = run_scatter_add(dwv_pos, plan.last_pos)
-        elif cfg.fine:
-            grad_rows = blocked_scatter_add_fine(
-                dwv_pos, plan.ranks_sorted, plan.tile_base_fine,
-                n_rows=R, n_win=5, interpret=interp, exact=cfg.exact,
+        if cfg.fine and not cfg.runops:
+            # merged backward+scatter: one grid pass, dwv never hits HBM
+            grad_rows = K.fm_backward_scatter_fine(
+                plan.rowid_sorted, plan.xv_sorted, e_pos, duals,
+                plan.ranks_sorted, plan.tile_base_fine, n_k=n_k,
+                b_pad=b_pad, n_rows=R, n_win=5, interpret=interp,
+                exact=cfg.exact,
             )
         else:
-            grad_rows = blocked_scatter_add(
-                dwv_pos, plan.ranks_sorted, plan.tile_base,
-                n_rows=R, interpret=interp, exact=cfg.exact,
+            dwv_pos = K.fm_backward_positions(
+                plan.rowid_sorted, plan.xv_sorted, e_pos, duals,
+                n_k=n_k, b_pad=b_pad, interpret=interp, exact=cfg.exact,
             )
+            if cfg.runops:
+                grad_rows = run_scatter_add(dwv_pos, plan.last_pos)
+            else:
+                grad_rows = blocked_scatter_add(
+                    dwv_pos, plan.ranks_sorted, plan.tile_base,
+                    n_rows=R, interpret=interp, exact=cfg.exact,
+                )
         grad_rows = grad_rows + l2 * state.rows
 
         accum = state.accum + grad_rows * grad_rows

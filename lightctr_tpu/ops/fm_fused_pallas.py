@@ -220,6 +220,135 @@ def fm_forward_fine(rows, ranks_sorted, rowid_sorted, xv_sorted, tile_base,
     )
 
 
+# ---------------------------------------------------------------------------
+# Merged backward+scatter (fine windows): one pallas_call computes the
+# per-position gradients AND accumulates them into the mod-n_win residue
+# row buffers. Unlike the two-phase mega-kernel (whose phase-1 e-recompute
+# made it a net loss, PARITY.md), nothing here is recomputed: the backward
+# needs only position-space inputs (e_pos from the forward, duals from the
+# XLA loss math), and the rank one-hot built for the scatter is the only
+# one-hot this pass needs. vs the separate fm_backward_positions +
+# blocked_scatter_add_fine pair this removes one full grid pass and the
+# dwv_pos [n, D] HBM write+read — the profiled step is grid-overhead
+# bound (PARITY.md), so the saved pass is the point.
+
+
+def _bwd_scatter_fine_kernel(base_ref, ranks_ref, rowid_ref, xv_ref,
+                             epos_ref, duals_ref, *out_refs, n_k: int,
+                             b_pad: int, n_win: int, tile: int,
+                             cdt=jnp.bfloat16):
+    t = pl.program_id(0)
+
+    # backward in position space (dwv never leaves VMEM)
+    rid = rowid_ref[...]                                    # [T, 1]
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (tile, b_pad), 1)
+    onehot_row = (rid == iota_b).astype(cdt)
+    duals_pos = jax.lax.dot_general(
+        onehot_row, duals_ref[...].astype(cdt),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                       # [T, S]
+    dlogit = duals_pos[:, 0:1]
+    a = duals_pos[:, 1:1 + n_k]
+    b_col = duals_pos[:, 1 + n_k:1 + 2 * n_k]
+    xv = xv_ref[...]
+    v = epos_ref[...][:, 1:1 + n_k]
+    dw = dlogit * xv
+    dv = (a - b_col * v * xv) * xv
+    pad = jnp.zeros((tile, D - 1 - n_k), jnp.float32)
+    dwv = jnp.concatenate([dw, dv, pad], axis=1)            # [T, D]
+
+    # mod-n_win residue scatter (blocked_scatter_add_fine's scheme)
+    b = base_ref[t]
+    prev = base_ref[jnp.maximum(t - 1, 0)]
+    local = ranks_ref[...] - b * WTILE
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (tile, n_win * WTILE), 1)
+    onehot = (local == iota_r).astype(cdt)
+    contrib = jax.lax.dot_general(
+        onehot, dwv.astype(cdt),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                       # [n_win*W, D]
+    for j in range(n_win):
+        off_j = jnp.mod(j - b, n_win)
+        blk_j = b + off_j
+        prev_blk = prev + jnp.mod(j - prev, n_win)
+
+        def _zero(j=j):
+            out_refs[j][...] = jnp.zeros_like(out_refs[j])
+
+        pl.when((t == 0) | (blk_j != prev_blk))(_zero)
+        chunk = jnp.zeros((WTILE, contrib.shape[1]), jnp.float32)
+        for i in range(n_win):
+            chunk = jnp.where(
+                off_j == i, contrib[i * WTILE:(i + 1) * WTILE], chunk)
+        out_refs[j][...] += chunk
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_k", "b_pad", "n_rows", "n_win", "tile",
+                     "interpret", "exact"))
+def fm_backward_scatter_fine(rowid_sorted, xv_sorted, e_pos, duals,
+                             ranks_sorted, tile_base, n_k: int, b_pad: int,
+                             n_rows: int, n_win: int = 5, tile: int = TILE,
+                             interpret: bool = False, exact: bool = False):
+    """duals [b_pad, S] + e_pos [n, D] -> grad_rows [n_rows, D] in ONE
+    pass (fm_backward_positions folded into blocked_scatter_add_fine).
+    tile_base in WTILE units; n_rows % (n_win * WTILE) == 0."""
+    n = ranks_sorted.shape[0]
+    n_tiles = n // tile
+    n_blocks = n_rows // WTILE
+    assert n_blocks % n_win == 0
+    per = n_blocks // n_win
+    cdt = jnp.float32 if exact else jnp.bfloat16
+
+    def out_spec(j):
+        def imap(t, base, j=j):
+            b = base[t]
+            return ((b + jnp.mod(j - b, n_win)) // n_win, 0)
+
+        return pl.BlockSpec((WTILE, D), imap)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, 1), lambda t, base: (t, 0)),
+            pl.BlockSpec((tile, 1), lambda t, base: (t, 0)),
+            pl.BlockSpec((tile, 1), lambda t, base: (t, 0)),
+            pl.BlockSpec((tile, D), lambda t, base: (t, 0)),
+            pl.BlockSpec((b_pad, S), lambda t, base: (0, 0)),
+        ],
+        out_specs=tuple(out_spec(j) for j in range(n_win)),
+    )
+    outs = pl.pallas_call(
+        functools.partial(_bwd_scatter_fine_kernel, n_k=n_k, b_pad=b_pad,
+                          n_win=n_win, tile=tile, cdt=cdt),
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((n_rows // n_win, D), jnp.float32)
+            for _ in range(n_win)
+        ),
+        interpret=interpret,
+    )(
+        tile_base,
+        ranks_sorted.reshape(n, 1),
+        rowid_sorted.reshape(n, 1),
+        xv_sorted.astype(jnp.float32).reshape(n, 1),
+        e_pos,
+        duals,
+    )
+
+    touched = jnp.zeros((n_blocks,), jnp.bool_).at[
+        (tile_base[:, None] + jnp.arange(n_win)[None, :]).reshape(-1)
+    ].set(True)
+    touched = touched.reshape(per, n_win)
+    stacked = jnp.stack([o.reshape(per, WTILE, D) for o in outs], axis=1)
+    stacked = jnp.where(touched[:, :, None, None], stacked, 0.0)
+    return stacked.reshape(n_rows, D)
+
+
 def _row_reduce_kernel(rowid_ref, vals_ref, out_ref, *, b_pad: int,
                        cdt=jnp.bfloat16):
     """out[b] += sum of vals at positions with rowid==b (single revisited

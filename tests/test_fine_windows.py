@@ -173,3 +173,34 @@ def test_kernel_fm_fine_matches_staged():
 def dataclasses_replace(cfg, **kw):
     import dataclasses
     return dataclasses.replace(cfg, **kw)
+
+
+def test_merged_backward_scatter_matches_pair():
+    """fm_backward_scatter_fine == fm_backward_positions +
+    blocked_scatter_add_fine (fp32-exact, interpret mode)."""
+    rng = np.random.default_rng(9)
+    B, L, V, KF = 8, 128, 300, 4
+    ids = rng.integers(0, V, (B, L)).astype(np.int64)
+    ids[:, :16] = rng.integers(0, 8, (B, 16))
+    mask = (rng.random((B, L)) > 0.2).astype(np.float32)
+    vals = np.ones((B, L), np.float32)
+    labels = rng.integers(0, 2, (B,)).astype(np.float32)
+    plan = fm_kernel.plan_batch(ids, vals, mask, labels, fine=True)
+    R = plan.n_rows_pad
+    n = plan.ranks_sorted.shape[0]
+    e_pos = jnp.asarray(rng.normal(size=(n, K.D)).astype(np.float32))
+    duals = jnp.asarray(
+        rng.normal(size=(plan.b_pad, K.S)).astype(np.float32))
+
+    dwv = K.fm_backward_positions(
+        plan.rowid_sorted, plan.xv_sorted, e_pos, duals,
+        n_k=KF, b_pad=plan.b_pad, interpret=True, exact=True)
+    want = blocked_scatter_add_fine(
+        dwv, plan.ranks_sorted, plan.tile_base_fine, n_rows=R, n_win=5,
+        interpret=True, exact=True)
+    got = K.fm_backward_scatter_fine(
+        plan.rowid_sorted, plan.xv_sorted, e_pos, duals,
+        plan.ranks_sorted, plan.tile_base_fine, n_k=KF, b_pad=plan.b_pad,
+        n_rows=R, n_win=5, interpret=True, exact=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
