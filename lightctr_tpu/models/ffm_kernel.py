@@ -51,6 +51,14 @@ class KernelFFMConfig:
     # exact=True runs the one-hot matmuls in fp32 (fp32-faithful; the
     # test/verification mode); False uses bf16 compute (fastest).
     exact: bool = True
+    # agg=True replaces the dense one-hot rank sweep (rank_lookup +
+    # scatter vjp, 2*n*R*Dw MACs — the 26 ms floor in PARITY.md's cost
+    # analysis) with a count-matrix factorisation: positions are
+    # pre-aggregated into C[(row, field), rank] by ONE scalar scatter-add
+    # (n updates), and the field-aggregation tensor becomes a single MXU
+    # matmul S = C @ table ((B*F)*R*Dw MACs — n/(B*F) ~ 5.6x fewer).
+    # The backward is C^T @ dS via autodiff. Plain XLA, no Pallas.
+    agg: bool = False
 
     @property
     def row_width(self) -> int:
@@ -165,17 +173,75 @@ def _logits_from_table(table, w0, plan: FFMBatchPlan, cfg: KernelFFMConfig,
                                   onehot_f, weighted)
 
 
+def count_matrix(ranks, fields, xv, n_rows: int, n_fields: int, dtype):
+    """C[(row, field), rank] = sum of x over the positions that land there
+    — ONE scalar scatter-add of n updates. The position axis (n = B*L,
+    the 2*n*R*Dw cost driver of the one-hot sweep) disappears before any
+    Dw-wide math happens; every downstream contraction is over the R axis
+    on [B*F, R], which the MXU eats as a single dense matmul.
+
+    ranks: [n_pad] row-major (only the first B*L used); fields/xv: [B, L].
+    Invalid positions carry xv=0, so they contribute nothing wherever
+    their padding rank points."""
+    B, L = xv.shape
+    r = ranks[: B * L]
+    bf = (jnp.arange(B, dtype=jnp.int32)[:, None] * n_fields
+          + fields).reshape(-1)
+    C = jnp.zeros((B * n_fields, n_rows), dtype)
+    return C.at[bf, r].add(xv.reshape(-1).astype(dtype))
+
+
+def _logits_from_counts(table, w0, C, ranks, fields, xv,
+                        cfg: KernelFFMConfig):
+    """Count-matrix FFM forward (cfg.agg): S = C @ table gives the
+    field-aggregation tensor directly — S[(b,f), :] packs [sum of w over
+    field f | sum of x*V[id] over field f]. Same math as
+    _logits_from_rank_rows / ops.interactions.ffm_interaction (tested
+    equal); the pairwise total is the standard aggregation identity with
+    the per-position own-field self-term removed via a scalar gather of
+    D2[rank, field] = ||V[rank, field]||^2."""
+    B, L = xv.shape
+    F, Kf, Dw = cfg.n_fields, cfg.factor, cfg.row_width
+    cdt = jnp.float32 if cfg.exact else jnp.bfloat16
+    S = jnp.einsum("pr,rd->pd", C, table.astype(cdt),
+                   preferred_element_type=jnp.float32)    # [B*F, Dw]
+    S = S.reshape(B, F, Dw)
+    wx = jnp.sum(S[..., 0], axis=-1)                      # [B]
+    P = S[..., 1 : 1 + F * Kf].reshape(B, F, F, Kf)       # [B, f, g, K]
+    Pc = P.astype(cdt)
+    total = jnp.einsum("bfgk,bgfk->b", Pc, Pc,
+                       preferred_element_type=jnp.float32)
+    V = table[:, 1 : 1 + F * Kf].reshape(-1, F, Kf)
+    D2 = jnp.sum(V * V, axis=-1)                          # [R, F]
+    d2own = D2[ranks[: B * L], fields.reshape(-1)].reshape(B, L)
+    self_t = jnp.sum(xv * xv * d2own, axis=-1)
+    return w0 + wx + 0.5 * (total - self_t)
+
+
 def make_train_step(cfg: KernelFFMConfig, plan: FFMBatchPlan):
     R = plan.n_rows_pad
     n_valid = plan.n_valid_rows
-    onehot_f = jax.nn.one_hot(plan.fields, cfg.n_fields)    # [B, L, F]
-    weighted = onehot_f * plan.xv[..., None]
+    if cfg.agg:
+        # plan-constant count matrix: built once, reused every epoch
+        cdt = jnp.float32 if cfg.exact else jnp.bfloat16
+        C = count_matrix(plan.ranks, plan.fields, plan.xv, R,
+                         cfg.n_fields, cdt)
 
-    def loss_fn(table, w0):
-        z = _logits_from_table(table, w0, plan, cfg, onehot_f, weighted)
-        per = (jnp.maximum(z, 0) - z * plan.labels
-               + jnp.log1p(jnp.exp(-jnp.abs(z))))
-        return jnp.sum(per * plan.row_mask) / n_valid
+        def loss_fn(table, w0):
+            z = _logits_from_counts(table, w0, C, plan.ranks, plan.fields,
+                                    plan.xv, cfg)
+            per = (jnp.maximum(z, 0) - z * plan.labels
+                   + jnp.log1p(jnp.exp(-jnp.abs(z))))
+            return jnp.sum(per * plan.row_mask) / n_valid
+    else:
+        onehot_f = jax.nn.one_hot(plan.fields, cfg.n_fields)  # [B, L, F]
+        weighted = onehot_f * plan.xv[..., None]
+
+        def loss_fn(table, w0):
+            z = _logits_from_table(table, w0, plan, cfg, onehot_f, weighted)
+            per = (jnp.maximum(z, 0) - z * plan.labels
+                   + jnp.log1p(jnp.exp(-jnp.abs(z))))
+            return jnp.sum(per * plan.row_mask) / n_valid
 
     @jax.jit
     def step(state: KernelFFMState, hyper=None):
@@ -263,16 +329,28 @@ def make_streaming_train_step(cfg: KernelFFMConfig, capacity: int):
         rows = state.table[uids]                 # "pull" [R, Dw]
         rows = rows.at[R - 1].set(0.0)           # padding rank reads zero
 
-        onehot_f = jax.nn.one_hot(b["fields"], cfg.n_fields)
-        weighted = onehot_f * b["xv"][..., None]
         n_valid = jnp.maximum(jnp.sum(b["row_mask"]), 1.0)
+        if cfg.agg:
+            cdt = jnp.float32 if cfg.exact else jnp.bfloat16
+            C = count_matrix(b["ranks"], b["fields"], b["xv"], R,
+                             cfg.n_fields, cdt)
 
-        def loss_fn(rows, w0):
-            z = _logits_from_rank_rows(rows, w0, b["ranks"], b["xv"], cfg,
-                                       onehot_f, weighted)
-            per = (jnp.maximum(z, 0) - z * b["labels"]
-                   + jnp.log1p(jnp.exp(-jnp.abs(z))))
-            return jnp.sum(per * b["row_mask"]) / n_valid
+            def loss_fn(rows, w0):
+                z = _logits_from_counts(rows, w0, C, b["ranks"],
+                                        b["fields"], b["xv"], cfg)
+                per = (jnp.maximum(z, 0) - z * b["labels"]
+                       + jnp.log1p(jnp.exp(-jnp.abs(z))))
+                return jnp.sum(per * b["row_mask"]) / n_valid
+        else:
+            onehot_f = jax.nn.one_hot(b["fields"], cfg.n_fields)
+            weighted = onehot_f * b["xv"][..., None]
+
+            def loss_fn(rows, w0):
+                z = _logits_from_rank_rows(rows, w0, b["ranks"], b["xv"],
+                                           cfg, onehot_f, weighted)
+                per = (jnp.maximum(z, 0) - z * b["labels"]
+                       + jnp.log1p(jnp.exp(-jnp.abs(z))))
+                return jnp.sum(per * b["row_mask"]) / n_valid
 
         loss, (g_rows, g_w0) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
             rows, state.w0

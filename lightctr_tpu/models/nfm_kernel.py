@@ -25,8 +25,13 @@ import jax.numpy as jnp
 
 from ..nn.mlp import mlp_apply, mlp_init
 from ..ops import fm_fused_pallas as K
-from ..ops.embedding_pallas import blocked_scatter_add
-from .fm_kernel import BatchPlan, plan_batch  # shared plan machinery
+from ..ops.embedding_pallas import WTILE
+from .fm_kernel import (  # shared plan machinery + kernel dispatch
+    BatchPlan,
+    kernel_backward,
+    kernel_forward,
+    plan_batch,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -41,6 +46,10 @@ class KernelNFMConfig:
     l2: float = 0.0
     interpret: bool = False
     exact: bool = True
+    # fine=True: 5x128-row gather/scatter windows + merged backward+scatter
+    # (see KernelFMConfig.fine); needs plan_batch(..., fine=True) /
+    # capacity % 640 == 0 for the streaming step
+    fine: bool = False
 
 
 class KernelNFMState(NamedTuple):
@@ -80,7 +89,6 @@ def make_train_step(cfg: KernelNFMConfig, plan: BatchPlan):
     n_k = cfg.factor
     b_pad = plan.b_pad
     R = plan.n_rows_pad
-    interp = cfg.interpret
     B = plan.labels.shape[0]
     tx = optim.adam(cfg.mlp_learning_rate)
 
@@ -88,15 +96,17 @@ def make_train_step(cfg: KernelNFMConfig, plan: BatchPlan):
     rmask_p = jnp.zeros((b_pad,)).at[:B].set(plan.row_mask)
     n_valid = plan.n_valid_rows
 
+    if cfg.fine and plan.tile_base_fine is None:
+        raise ValueError("cfg.fine=True needs plan_batch(..., fine=True)")
+
     @jax.jit
     def step(state: KernelNFMState, hyper=None):
         lr = cfg.learning_rate if hyper is None else hyper[0]
         l2 = cfg.l2 if hyper is None else hyper[1]
 
-        rowsum, e_pos = K.fm_forward(
-            state.rows, plan.ranks_sorted, plan.rowid_sorted, plan.xv_sorted,
-            plan.tile_base, n_k=n_k, b_pad=b_pad, interpret=interp,
-            exact=cfg.exact,
+        rowsum, e_pos = kernel_forward(
+            cfg, state.rows, plan.ranks_sorted, plan.rowid_sorted,
+            plan.xv_sorted, plan.tile_base, plan.tile_base_fine, b_pad,
         )
         wx = rowsum[:, 0]
         s = rowsum[:, 1 : 1 + n_k]
@@ -121,13 +131,10 @@ def make_train_step(cfg: KernelNFMConfig, plan: BatchPlan):
         duals = duals.at[:, 1 : 1 + n_k].set(g_pool * s)
         duals = duals.at[:, 1 + n_k : 1 + 2 * n_k].set(g_pool)
 
-        dwv_pos = K.fm_backward_positions(
-            plan.rowid_sorted, plan.xv_sorted, e_pos, duals,
-            n_k=n_k, b_pad=b_pad, interpret=interp, exact=cfg.exact,
-        )
-        grad_rows = blocked_scatter_add(
-            dwv_pos, plan.ranks_sorted, plan.tile_base,
-            n_rows=R, interpret=interp, exact=cfg.exact,
+        grad_rows = kernel_backward(
+            cfg, plan.rowid_sorted, plan.xv_sorted, e_pos, duals,
+            plan.ranks_sorted, plan.tile_base, plan.tile_base_fine,
+            b_pad, R,
         )
         grad_rows = grad_rows + l2 * state.rows
 
@@ -186,7 +193,10 @@ def make_streaming_train_step(cfg: KernelNFMConfig, capacity: int, b_pad: int):
 
     n_k = cfg.factor
     R = capacity
-    interp = cfg.interpret
+    if cfg.fine:
+        assert R % (5 * WTILE) == 0, (
+            f"cfg.fine streaming needs capacity % 640 == 0, got {R}"
+        )
     tx = optim.adam(cfg.mlp_learning_rate)
 
     # donate: the vocab-space master tables update in place (no full-table
@@ -201,10 +211,9 @@ def make_streaming_train_step(cfg: KernelNFMConfig, capacity: int, b_pad: int):
         rows = state.table[uids]                # "pull" unique rows
         rows = rows.at[R - 1].set(0.0)
 
-        rowsum, e_pos = K.fm_forward(
-            rows, b["ranks_sorted"], b["rowid_sorted"], b["xv_sorted"],
-            b["tile_base"], n_k=n_k, b_pad=b_pad, interpret=interp,
-            exact=cfg.exact,
+        rowsum, e_pos = kernel_forward(
+            cfg, rows, b["ranks_sorted"], b["rowid_sorted"], b["xv_sorted"],
+            b["tile_base"], b.get("tile_base_fine"), b_pad,
         )
         wx = rowsum[:, 0]
         s = rowsum[:, 1 : 1 + n_k]
@@ -229,13 +238,10 @@ def make_streaming_train_step(cfg: KernelNFMConfig, capacity: int, b_pad: int):
         duals = duals.at[:, 1 : 1 + n_k].set(g_pool * s)
         duals = duals.at[:, 1 + n_k : 1 + 2 * n_k].set(g_pool)
 
-        dwv_pos = K.fm_backward_positions(
-            b["rowid_sorted"], b["xv_sorted"], e_pos, duals,
-            n_k=n_k, b_pad=b_pad, interpret=interp, exact=cfg.exact,
-        )
-        grad_rows = blocked_scatter_add(
-            dwv_pos, b["ranks_sorted"], b["tile_base"],
-            n_rows=R, interpret=interp, exact=cfg.exact,
+        grad_rows = kernel_backward(
+            cfg, b["rowid_sorted"], b["xv_sorted"], e_pos, duals,
+            b["ranks_sorted"], b["tile_base"], b.get("tile_base_fine"),
+            b_pad, R,
         )
         grad_rows = grad_rows + l2 * rows
 

@@ -33,7 +33,12 @@ import jax.numpy as jnp
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.fm_kernel import KernelFMConfig, StreamingFMState
+from ..models.fm_kernel import (
+    KernelFMConfig,
+    StreamingFMState,
+    kernel_backward,
+    kernel_forward,
+)
 from ..models.nfm_kernel import KernelNFMConfig, StreamingNFMState
 from ..nn.mlp import mlp_apply
 from ..ops import fm_fused_pallas as K
@@ -86,10 +91,9 @@ def make_sharded_streaming_step(cfg: KernelFMConfig, capacity: int,
         rows = rows.at[R - 1].set(0.0)
 
         # ---- replicated fused-kernel compute (identical on all shards)
-        rowsum, e_pos = K.fm_forward(
-            rows, b["ranks_sorted"], b["rowid_sorted"], b["xv_sorted"],
-            b["tile_base"], n_k=n_k, b_pad=b_pad, interpret=interp,
-            exact=cfg.exact,
+        rowsum, e_pos = kernel_forward(
+            cfg, rows, b["ranks_sorted"], b["rowid_sorted"], b["xv_sorted"],
+            b["tile_base"], b.get("tile_base_fine"), b_pad,
         )
         wx = rowsum[:, 0]
         s = rowsum[:, 1 : 1 + n_k]
@@ -108,13 +112,10 @@ def make_sharded_streaming_step(cfg: KernelFMConfig, capacity: int,
         duals = duals.at[:, 1 + n_k : 1 + 2 * n_k].set(
             jnp.broadcast_to(dlogit[:, None], (b_pad, n_k))
         )
-        dwv_pos = K.fm_backward_positions(
-            b["rowid_sorted"], b["xv_sorted"], e_pos, duals,
-            n_k=n_k, b_pad=b_pad, interpret=interp, exact=cfg.exact,
-        )
-        grad_rows = blocked_scatter_add(
-            dwv_pos, b["ranks_sorted"], b["tile_base"],
-            n_rows=R, interpret=interp, exact=cfg.exact,
+        grad_rows = kernel_backward(
+            cfg, b["rowid_sorted"], b["xv_sorted"], e_pos, duals,
+            b["ranks_sorted"], b["tile_base"], b.get("tile_base_fine"),
+            b_pad, R,
         )
         grad_rows = grad_rows + l2 * rows
 
@@ -139,6 +140,7 @@ def make_sharded_streaming_step(cfg: KernelFMConfig, capacity: int,
     batch_specs = {
         "uids": rep, "n_unique": rep, "ranks_sorted": rep,
         "rowid_sorted": rep, "xv_sorted": rep, "tile_base": rep,
+        "tile_base_fine": rep,
         "labels_padded": rep, "row_mask_padded": rep,
     }
     mapped = shard_map(
@@ -169,7 +171,8 @@ def shard_plan(b: dict, mesh: Mesh) -> dict:
     the reshard off the step's critical path."""
     data_sh = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())
-    pos_keys = ("ranks_sorted", "rowid_sorted", "xv_sorted", "tile_base")
+    pos_keys = ("ranks_sorted", "rowid_sorted", "xv_sorted", "tile_base",
+                "tile_base_fine")
     return {
         k: jax.device_put(v, data_sh if k in pos_keys else rep)
         for k, v in b.items()
@@ -230,10 +233,9 @@ def make_dp_sharded_streaming_step(cfg: KernelFMConfig, capacity: int,
 
         # ---- forward over this shard's position slice; psum the partial
         # per-row sums (each position contributes to exactly one row)
-        rowsum, e_pos = K.fm_forward(
-            rows, b["ranks_sorted"], b["rowid_sorted"], b["xv_sorted"],
-            b["tile_base"], n_k=n_k, b_pad=b_pad, interpret=interp,
-            exact=cfg.exact,
+        rowsum, e_pos = kernel_forward(
+            cfg, rows, b["ranks_sorted"], b["rowid_sorted"], b["xv_sorted"],
+            b["tile_base"], b.get("tile_base_fine"), b_pad,
         )
         rowsum = jax.lax.psum(rowsum, "data")   # [b_pad, S] replicated
         wx = rowsum[:, 0]
@@ -253,13 +255,10 @@ def make_dp_sharded_streaming_step(cfg: KernelFMConfig, capacity: int,
         duals = duals.at[:, 1 + n_k : 1 + 2 * n_k].set(
             jnp.broadcast_to(dlogit[:, None], (b_pad, n_k))
         )
-        dwv_pos = K.fm_backward_positions(
-            b["rowid_sorted"], b["xv_sorted"], e_pos, duals,
-            n_k=n_k, b_pad=b_pad, interpret=interp, exact=cfg.exact,
-        )
-        grad_rows = blocked_scatter_add(
-            dwv_pos, b["ranks_sorted"], b["tile_base"],
-            n_rows=R, interpret=interp, exact=cfg.exact,
+        grad_rows = kernel_backward(
+            cfg, b["rowid_sorted"], b["xv_sorted"], e_pos, duals,
+            b["ranks_sorted"], b["tile_base"], b.get("tile_base_fine"),
+            b_pad, R,
         )
         grad_rows = jax.lax.psum(grad_rows, "data")   # [R, D] replicated
         grad_rows = grad_rows + l2 * rows
@@ -286,7 +285,8 @@ def make_dp_sharded_streaming_step(cfg: KernelFMConfig, capacity: int,
     batch_specs = {
         "uids": rep, "n_unique": rep, "ranks_sorted": pos_spec,
         "rowid_sorted": pos_spec, "xv_sorted": pos_spec,
-        "tile_base": pos_spec, "labels_padded": rep, "row_mask_padded": rep,
+        "tile_base": pos_spec, "tile_base_fine": pos_spec,
+        "labels_padded": rep, "row_mask_padded": rep,
     }
     mapped = shard_map(
         local_step,
@@ -368,10 +368,9 @@ def make_sharded_streaming_nfm_step(cfg: KernelNFMConfig, capacity: int,
         rows = jax.lax.psum(rows, "model")
         rows = rows.at[R - 1].set(0.0)
 
-        rowsum, e_pos = K.fm_forward(
-            rows, b["ranks_sorted"], b["rowid_sorted"], b["xv_sorted"],
-            b["tile_base"], n_k=n_k, b_pad=b_pad, interpret=interp,
-            exact=cfg.exact,
+        rowsum, e_pos = kernel_forward(
+            cfg, rows, b["ranks_sorted"], b["rowid_sorted"], b["xv_sorted"],
+            b["tile_base"], b.get("tile_base_fine"), b_pad,
         )
         wx = rowsum[:, 0]
         s = rowsum[:, 1 : 1 + n_k]
@@ -396,13 +395,10 @@ def make_sharded_streaming_nfm_step(cfg: KernelNFMConfig, capacity: int,
         duals = duals.at[:, 1 : 1 + n_k].set(g_pool * s)
         duals = duals.at[:, 1 + n_k : 1 + 2 * n_k].set(g_pool)
 
-        dwv_pos = K.fm_backward_positions(
-            b["rowid_sorted"], b["xv_sorted"], e_pos, duals,
-            n_k=n_k, b_pad=b_pad, interpret=interp, exact=cfg.exact,
-        )
-        grad_rows = blocked_scatter_add(
-            dwv_pos, b["ranks_sorted"], b["tile_base"],
-            n_rows=R, interpret=interp, exact=cfg.exact,
+        grad_rows = kernel_backward(
+            cfg, b["rowid_sorted"], b["xv_sorted"], e_pos, duals,
+            b["ranks_sorted"], b["tile_base"], b.get("tile_base_fine"),
+            b_pad, R,
         )
         grad_rows = grad_rows + l2 * rows
 
@@ -431,6 +427,7 @@ def make_sharded_streaming_nfm_step(cfg: KernelNFMConfig, capacity: int,
     batch_specs = {
         "uids": rep, "n_unique": rep, "ranks_sorted": rep,
         "rowid_sorted": rep, "xv_sorted": rep, "tile_base": rep,
+        "tile_base_fine": rep,
         "labels_padded": rep, "row_mask_padded": rep,
     }
     mapped = shard_map(

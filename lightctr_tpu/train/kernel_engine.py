@@ -41,23 +41,30 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
-def _streaming_dims(ds, batch_size: int):
-    """(capacity, b_pad) for the streaming kernel step."""
+def _streaming_dims(ds, batch_size: int, fine: bool = False):
+    """(capacity, b_pad) for the streaming kernel step. fine=True rounds
+    capacity for the 5x128-window kernels too (lcm(2*TILE, 5*128) =
+    5120)."""
     L = ds.ids.shape[1]
     max_uniques = min(batch_size * L, ds.n_features)
-    capacity = _round_up(max_uniques + TILE + 1, 2 * TILE)
+    mult = 5120 if fine else 2 * TILE
+    capacity = _round_up(max_uniques + TILE + 1, mult)
     b_pad = max(_round_up(batch_size, 128), 128)
     return capacity, b_pad
 
 
 def train_fm_kernel(ds, factor=8, learning_rate=0.05, l2=0.0, epochs=5,
                     batch_size=256, seed=0, exact=True, log=print,
-                    wide_optimizer="adagrad"):
-    """-> (params dict {w0,w,v}, per-epoch mean losses)."""
+                    wide_optimizer="adagrad", fine=True):
+    """-> (params dict {w0,w,v}, per-epoch mean losses).
+
+    fine=True (default) runs the 5x128-window kernels with the merged
+    backward+scatter — the bench.py headline configuration (2.13 ms
+    full-batch step vs 3.7 ms coarse, PARITY.md)."""
     cfg = fm_kernel.KernelFMConfig(
         n_features=ds.n_features, factor=factor, learning_rate=learning_rate,
         l2=l2, exact=exact, wide_optimizer=wide_optimizer,
-        interpret=_interpret(),
+        interpret=_interpret(), fine=fine,
     )
     rng = jax.random.PRNGKey(seed)
     epoch_losses = []
@@ -65,7 +72,7 @@ def train_fm_kernel(ds, factor=8, learning_rate=0.05, l2=0.0, epochs=5,
     if batch_size >= len(ds):
         # full-batch: one plan, zero per-step planning cost
         plan = fm_kernel.plan_batch(
-            ds.ids.astype(np.int64), ds.vals, ds.mask, ds.labels
+            ds.ids.astype(np.int64), ds.vals, ds.mask, ds.labels, fine=fine
         )
         state = fm_kernel.init(rng, cfg, plan)
         step = fm_kernel.make_train_step(cfg, plan)
@@ -78,7 +85,7 @@ def train_fm_kernel(ds, factor=8, learning_rate=0.05, l2=0.0, epochs=5,
         return {"w0": jnp.asarray(w0), "w": jnp.asarray(w),
                 "v": jnp.asarray(v)}, epoch_losses
 
-    capacity, b_pad = _streaming_dims(ds, batch_size)
+    capacity, b_pad = _streaming_dims(ds, batch_size, fine=fine)
     # packed [V, 32] master layout: one row-gather + one row-scatter per
     # step (same trajectory as unpacked — tests/test_fm_streaming.py;
     # measured +52% at 10M vocab, PARITY.md)
@@ -116,16 +123,17 @@ def train_fm_kernel(ds, factor=8, learning_rate=0.05, l2=0.0, epochs=5,
 
 def train_nfm_kernel(ds, factor=8, hidden=(64,), learning_rate=0.05,
                      mlp_learning_rate=1e-3, l2=0.0, epochs=5,
-                     batch_size=256, seed=0, exact=True, log=print):
+                     batch_size=256, seed=0, exact=True, log=print,
+                     fine=True):
     """-> (params dict {w0,w,v,mlp} for models/nfm, per-epoch losses)."""
     cfg = nfm_kernel.KernelNFMConfig(
         n_features=ds.n_features, factor=factor, hidden=tuple(hidden),
         learning_rate=learning_rate, mlp_learning_rate=mlp_learning_rate,
-        l2=l2, exact=exact, interpret=_interpret(),
+        l2=l2, exact=exact, interpret=_interpret(), fine=fine,
     )
     rng = jax.random.PRNGKey(seed)
     batch_size = min(batch_size, len(ds))
-    capacity, b_pad = _streaming_dims(ds, batch_size)
+    capacity, b_pad = _streaming_dims(ds, batch_size, fine=fine)
     state = nfm_kernel.streaming_init(rng, cfg)
     step = nfm_kernel.make_streaming_train_step(cfg, capacity, b_pad)
     np_rng = np.random.default_rng(seed)
