@@ -3,15 +3,29 @@
 Mirrors the reference's headline benchmark (BASELINE.md: LightCTR trains FM
 k=8 for 1000 full-batch epochs over the 1000-row train_sparse.csv in 9.32 s
 on an AVX CPU => ~107,296 examples/sec). Same data, same model size, same
-full-batch Adagrad regime, run through the fused Pallas kernel trainer
-(models/fm_kernel.py: blocked one-hot MXU gather/reduce/scatter over the
-position-trimmed sorted layout — see ops/fm_fused_pallas.py).
+full-batch Adagrad regime, run through the design-matrix trainer
+(models/fm_kernel.py cfg.xmat: the whole step factors through two
+plan-constant count matrices Crow/Crow2 [b_pad, R], so gather, row-reduce
+AND scatter are dense MXU matmuls — the product path for full-batch
+`cli.py train --engine kernel`). Numerically identical to the Pallas
+fine-window kernel path (tests/test_fm_xmat.py), which remains the
+streaming/minibatch engine and is timed here as finewin_step_ms.
 
 Extra fields on the same single JSON line:
-  step_ms                      headline step time
-  mxu_util_pct                 algorithmic one-hot-matmul FLOPs of the step
-                               over v5e bf16 peak (197 TFLOP/s) — a roofline
-                               honesty number, NOT hardware-counter MFU
+  step_ms                      headline step time (scan-amortised: 500
+                               steps per dispatch, one readback)
+  algorithmic_tflops           the step's model FLOPs (4 count-matrix
+                               matmuls, fwd s/ss + bwd transposes) over
+                               measured time. The count matrices are
+                               scan-invariant, so XLA keeps them VMEM-
+                               resident across iterations (measured >
+                               HBM-roofline throughput; v5e VMEM 128 MiB
+                               > the 75 MB Crow+Crow2) — the remaining
+                               bound is narrow-matmul MXU efficiency at
+                               D=17 and the [R, 17] optimizer VPU work
+  finewin_step_ms              the 5x128-window Pallas kernel step on the
+                               same workload (the streaming engine's
+                               kernels, PARITY.md lineage)
   production_examples_per_sec  streaming regime B=4096, L=64, 10M vocab
                                (the scale the reference needs its PS
                                cluster for). Measured in a BOUNDED
@@ -38,7 +52,6 @@ import numpy as np
 
 
 REFERENCE_FM_EXAMPLES_PER_SEC = 1000 * 1000 / 9.32  # BASELINE.md vs_libfm k=8
-V5E_BF16_PEAK_FLOPS = 197e12
 PRODUCTION_TIMEOUT_S = int(os.environ.get("BENCH_PRODUCTION_TIMEOUT", "1500"))
 
 
@@ -122,31 +135,32 @@ def main():
 
     from lightctr_tpu.data import load_libffm
     from lightctr_tpu.models import fm_kernel
-    from lightctr_tpu.ops.embedding_pallas import TILE
-    from lightctr_tpu.ops.fm_fused_pallas import D, S
 
     ds = load_libffm("/root/reference/data/train_sparse.csv")
     batch_size = len(ds)  # full-batch, like the reference (train_fm_algo.cpp:38)
 
+    def time_step(cfg, plan, n_steps=500):
+        # all steps inside ONE lax.scan dispatch (the product path for
+        # full-batch training): per-step host dispatch over the tunnel
+        # costs ~0.3-0.5 ms — more than the xmat step itself — and would
+        # otherwise be what gets measured
+        state = fm_kernel.init(jax.random.PRNGKey(0), cfg, plan)
+        step = fm_kernel.make_train_step(cfg, plan)
+        run = fm_kernel.make_multi_step(step, n_steps)
+        state2, losses = run(state)
+        float(losses[-1])  # warmup/compile + sync
+        t0 = time.perf_counter()
+        state2, losses = run(state)
+        final_loss = float(losses[-1])  # forces the device work
+        return (time.perf_counter() - t0) / n_steps, final_loss
+
+    # headline: design-matrix step (the full-batch product path)
     cfg = fm_kernel.KernelFMConfig(
-        n_features=ds.n_features, factor=8, learning_rate=0.05, fine=True
+        n_features=ds.n_features, factor=8, learning_rate=0.05, xmat=True
     )
-    plan = fm_kernel.plan_batch(
-        ds.ids.astype(np.int64), ds.vals, ds.mask, ds.labels, fine=True
-    )
-    state = fm_kernel.init(jax.random.PRNGKey(0), cfg, plan)
-    step = fm_kernel.make_train_step(cfg, plan)
-
-    # warmup/compile
-    state, loss = step(state)
-    float(loss)
-
-    n_steps = 500
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, loss = step(state)
-    final_loss = float(loss)  # forces the dependent chain to finish
-    dt = (time.perf_counter() - t0) / n_steps
+    plan = fm_kernel.plan_batch(ds.ids.astype(np.int64), ds.vals, ds.mask,
+                                ds.labels)
+    dt, final_loss = time_step(cfg, plan)
 
     examples_per_sec = batch_size / dt
     if not np.isfinite(final_loss) or final_loss > 0.7:
@@ -155,13 +169,19 @@ def main():
                           "error": f"training diverged (loss={final_loss})"}))
         sys.exit(1)
 
-    # roofline estimate: the step's 4 one-hot matmuls (gather, row-reduce,
-    # duals-gather, scatter) over the trimmed sorted layout (fine=True:
-    # 5x128-row windows instead of 2x512)
-    n = plan.ranks_sorted.shape[0]
-    window = 5 * 128 if cfg.fine else 2 * TILE
-    macs = 2 * n * (window * D + plan.b_pad * S)
-    mxu_util = (2 * macs / dt) / V5E_BF16_PEAK_FLOPS * 100
+    # model FLOPs: 4 count-matrix matmuls (fwd: Crow@rows_aug [D=9] +
+    # Crow2@V^2 [D=8]; bwd: the two transposes), 2 FLOPs/MAC
+    flops = 2 * 2 * plan.b_pad * plan.n_rows_pad * (9 + 8)
+    algorithmic_tflops = flops / dt / 1e12
+
+    # secondary: the fine-window Pallas kernel step (streaming engine path)
+    cfg_fw = fm_kernel.KernelFMConfig(
+        n_features=ds.n_features, factor=8, learning_rate=0.05, fine=True
+    )
+    plan_fw = fm_kernel.plan_batch(
+        ds.ids.astype(np.int64), ds.vals, ds.mask, ds.labels, fine=True
+    )
+    dt_fw, _ = time_step(cfg_fw, plan_fw, n_steps=200)
 
     print(json.dumps({
         "metric": "fm_examples_per_sec_per_chip",
@@ -169,7 +189,8 @@ def main():
         "unit": "examples/sec",
         "vs_baseline": round(examples_per_sec / REFERENCE_FM_EXAMPLES_PER_SEC, 3),
         "step_ms": round(dt * 1e3, 3),
-        "mxu_util_pct": round(mxu_util, 1),
+        "algorithmic_tflops": round(algorithmic_tflops, 2),
+        "finewin_step_ms": round(dt_fw * 1e3, 3),
         **prod,
     }))
 

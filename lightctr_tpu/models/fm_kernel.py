@@ -70,6 +70,16 @@ class KernelFMConfig:
     # (benchmarks/bench_fine_windows.py). Needs a plan built with
     # plan_batch(..., fine=True) (n_rows_pad % 640 == 0).
     fine: bool = False
+    # xmat=True (full-batch make_train_step only): the design-matrix
+    # formulation. FM's forward AND backward only ever consume per-row
+    # aggregates (s = sum x*V, ss = sum x^2*V^2, and their transposes) —
+    # never per-position values — so the whole step factors through two
+    # plan-constant count matrices Crow[b, r] = sum(x), Crow2[b, r] =
+    # sum(x^2) built once by scalar scatter-add. Every gather/scatter/
+    # row-reduce becomes a dense [b_pad, R] @ [R, D] matmul (~36 MB Crow
+    # at the bench workload vs the position-space kernels' [n, window]
+    # one-hot builds). Position arrays never enter the step.
+    xmat: bool = False
 
 
 class KernelFMState(NamedTuple):
@@ -206,6 +216,113 @@ def kernel_backward(cfg, rowid_sorted, xv_sorted, e_pos, duals, ranks_sorted,
     )
 
 
+def count_matrices(plan: BatchPlan, dtype=jnp.float32):
+    """Design matrices in rank space: Crow[b, r] = sum of x over row b's
+    positions mapping to rank r, Crow2[b, r] = sum of x^2. Built once per
+    plan by ONE scalar scatter-add each (any position order works).
+    Padding positions carry xv=0 so they contribute nothing."""
+    R = plan.n_rows_pad
+    rid = plan.rowid_sorted
+    rnk = plan.ranks_sorted
+    xv = plan.xv_sorted.astype(dtype)
+    Crow = jnp.zeros((plan.b_pad, R), dtype).at[rid, rnk].add(
+        xv, mode="drop")
+    Crow2 = jnp.zeros((plan.b_pad, R), dtype).at[rid, rnk].add(
+        xv * xv, mode="drop")
+    return Crow, Crow2
+
+
+def _ftrl_wide(cfg: KernelFMConfig, state: KernelFMState, rows, grad_rows):
+    """FTRL-proximal on the wide (w) column — reference FTRLUpdater
+    semantics (gradientUpdater.h:235-278). Returns (rows, ftrl_z, ftrl_n)."""
+    g_w = grad_rows[:, 0:1]
+    w_old = state.rows[:, 0:1]
+    n_new = state.ftrl_n + g_w * g_w
+    sigma = (jnp.sqrt(n_new) - jnp.sqrt(state.ftrl_n)) / cfg.ftrl_alpha
+    z_new = state.ftrl_z + g_w - sigma * w_old
+    w_new = jnp.where(
+        jnp.abs(z_new) <= cfg.ftrl_lambda1,
+        0.0,
+        -(z_new - jnp.sign(z_new) * cfg.ftrl_lambda1)
+        / ((cfg.ftrl_beta + jnp.sqrt(n_new)) / cfg.ftrl_alpha
+           + cfg.ftrl_lambda2),
+    )
+    return rows.at[:, 0:1].set(w_new), z_new, n_new
+
+
+def _make_xmat_train_step(cfg: KernelFMConfig, plan: BatchPlan,
+                          labels_p, rmask_p, n_valid):
+    """Design-matrix full-batch FM step (cfg.xmat): the rank space is
+    small enough to densify the batch's sparse structure, so gather,
+    row-reduce AND scatter all become dense [b_pad, R] x [R, D] matmuls
+    against the plan-constant Crow/Crow2 — the position axis disappears
+    from the step entirely. Numerically identical to the kernel path
+    (tests/test_fm_xmat.py); reference math train_fm_algo.cpp:63-118."""
+    n_k = cfg.factor
+    R = plan.n_rows_pad
+    cdt = jnp.float32 if cfg.exact else jnp.bfloat16
+    Crow32, Crow2_32 = count_matrices(plan)
+    Crow = Crow32.astype(cdt)
+    Crow2 = Crow2_32.astype(cdt)
+
+    def loss_fn(rows, w0):
+        # one augmented matmul serves wx AND s: column 0 of the packed row
+        # layout is w, columns 1..k are V, so Crow @ rows[:, :1+k] reads
+        # Crow from HBM once for both (the step is Crow-bandwidth-bound)
+        V = rows[:, 1 : 1 + n_k]
+        s_aug = jnp.einsum("br,rk->bk", Crow,
+                           rows[:, : 1 + n_k].astype(cdt),
+                           preferred_element_type=jnp.float32)
+        wx, s = s_aug[:, 0], s_aug[:, 1:]
+        ss = jnp.einsum("br,rk->bk", Crow2, (V * V).astype(cdt),
+                        preferred_element_type=jnp.float32)
+        z = w0 + wx + 0.5 * jnp.sum(s * s - ss, axis=-1)
+        per = jnp.maximum(z, 0) - z * labels_p + jnp.log1p(jnp.exp(-jnp.abs(z)))
+        return jnp.sum(per * rmask_p) / n_valid
+
+    @jax.jit
+    def step(state: KernelFMState, hyper=None):
+        lr = cfg.learning_rate if hyper is None else hyper[0]
+        l2 = cfg.l2 if hyper is None else hyper[1]
+        loss, (grad_rows, g0) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            state.rows, state.w0
+        )
+        grad_rows = grad_rows + l2 * state.rows
+        accum = state.accum + grad_rows * grad_rows
+        rows = state.rows - lr * grad_rows / (jnp.sqrt(accum) + 1e-7)
+        if cfg.wide_optimizer == "ftrl":
+            rows, ftrl_z, ftrl_n = _ftrl_wide(cfg, state, rows, grad_rows)
+        else:
+            ftrl_z, ftrl_n = state.ftrl_z, state.ftrl_n
+        rows = rows.at[R - 1].set(0.0)
+        w0_accum = state.w0_accum + g0 * g0
+        w0 = state.w0 - lr * g0 / (jnp.sqrt(w0_accum) + 1e-7)
+        return KernelFMState(w0, w0_accum, rows, accum, ftrl_z, ftrl_n), loss
+
+    return step
+
+
+def make_multi_step(step, n_steps: int):
+    """Fold n_steps train-step calls into ONE dispatched lax.scan program:
+    `run(state, hyper=None) -> (state, losses[n_steps])`. Works for any of
+    the full-batch step functions in this family (fm/nfm/ffm, kernel or
+    xmat) — they are pure (state, hyper) -> (state, loss) maps.
+
+    Two reasons this is the product path for full-batch training (the
+    reference's regime is 1000 full-batch epochs, train_fm_algo.cpp:38):
+    per-step dispatch over a tunneled backend costs ~0.3-0.5 ms — more
+    than the xmat step itself — and one scan returns every epoch's loss
+    in a single readback."""
+    @jax.jit
+    def run(state, hyper=None):
+        def body(s, _):
+            s2, loss = step(s, hyper)
+            return s2, loss
+        return jax.lax.scan(body, state, None, length=n_steps)
+
+    return run
+
+
 def make_train_step(cfg: KernelFMConfig, plan: BatchPlan):
     n_k = cfg.factor
     b_pad = plan.b_pad
@@ -221,6 +338,9 @@ def make_train_step(cfg: KernelFMConfig, plan: BatchPlan):
     n_valid = plan.n_valid_rows
 
     n = plan.ranks_sorted.shape[0]
+
+    if cfg.xmat:
+        return _make_xmat_train_step(cfg, plan, labels_p, rmask_p, n_valid)
 
     @jax.jit
     def step(state: KernelFMState, hyper=None):

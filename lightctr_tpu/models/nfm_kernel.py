@@ -50,6 +50,10 @@ class KernelNFMConfig:
     # (see KernelFMConfig.fine); needs plan_batch(..., fine=True) /
     # capacity % 640 == 0 for the streaming step
     fine: bool = False
+    # xmat=True (full-batch only): design-matrix step — s/ss/backward as
+    # dense matmuls against the plan-constant Crow/Crow2 count matrices
+    # (see KernelFMConfig.xmat); the MLP tower rides autodiff as usual
+    xmat: bool = False
 
 
 class KernelNFMState(NamedTuple):
@@ -98,6 +102,54 @@ def make_train_step(cfg: KernelNFMConfig, plan: BatchPlan):
 
     if cfg.fine and plan.tile_base_fine is None:
         raise ValueError("cfg.fine=True needs plan_batch(..., fine=True)")
+
+    if cfg.xmat:
+        from .fm_kernel import count_matrices
+
+        R_ = plan.n_rows_pad
+        cdt = jnp.float32 if cfg.exact else jnp.bfloat16
+        Crow32, Crow2_32 = count_matrices(plan)
+        Crow = Crow32.astype(cdt)
+        Crow2 = Crow2_32.astype(cdt)
+
+        def xmat_loss(rows, mlp, w0):
+            # NOTE: the FM xmat path folds wx into the s matmul (one Crow
+            # pass); here that fold MEASURED SLOWER (0.93 vs 0.55 ms on
+            # v5e — the [b, 1+k] slice feeding the MLP defeats XLA's
+            # schedule), so wx stays a separate matvec. PARITY.md log.
+            w = rows[:, 0]
+            V = rows[:, 1 : 1 + n_k]
+            wx = jnp.einsum("br,r->b", Crow, w.astype(cdt),
+                            preferred_element_type=jnp.float32)
+            s = jnp.einsum("br,rk->bk", Crow, V.astype(cdt),
+                           preferred_element_type=jnp.float32)
+            ss = jnp.einsum("br,rk->bk", Crow2, (V * V).astype(cdt),
+                            preferred_element_type=jnp.float32)
+            pooled = 0.5 * (s * s - ss)
+            deep = mlp_apply(mlp, pooled, activation=cfg.activation)[:, 0]
+            z = w0 + wx + deep
+            per = (jnp.maximum(z, 0) - z * labels_p
+                   + jnp.log1p(jnp.exp(-jnp.abs(z))))
+            return jnp.sum(per * rmask_p) / n_valid
+
+        @jax.jit
+        def xmat_step(state: KernelNFMState, hyper=None):
+            lr = cfg.learning_rate if hyper is None else hyper[0]
+            l2 = cfg.l2 if hyper is None else hyper[1]
+            loss, (grad_rows, d_mlp, g0) = jax.value_and_grad(
+                xmat_loss, argnums=(0, 1, 2)
+            )(state.rows, state.mlp, state.w0)
+            grad_rows = grad_rows + l2 * state.rows
+            accum = state.accum + grad_rows * grad_rows
+            rows = state.rows - lr * grad_rows / (jnp.sqrt(accum) + 1e-7)
+            rows = rows.at[R_ - 1].set(0.0)
+            mlp_updates, mlp_opt = tx.update(d_mlp, state.mlp_opt, state.mlp)
+            mlp = optim.apply_updates(state.mlp, mlp_updates)
+            w0_accum = state.w0_accum + g0 * g0
+            w0 = state.w0 - lr * g0 / (jnp.sqrt(w0_accum) + 1e-7)
+            return KernelNFMState(w0, w0_accum, rows, accum, mlp, mlp_opt), loss
+
+        return xmat_step
 
     @jax.jit
     def step(state: KernelNFMState, hyper=None):

@@ -55,32 +55,41 @@ def _streaming_dims(ds, batch_size: int, fine: bool = False):
 
 def train_fm_kernel(ds, factor=8, learning_rate=0.05, l2=0.0, epochs=5,
                     batch_size=256, seed=0, exact=True, log=print,
-                    wide_optimizer="adagrad", fine=True):
+                    wide_optimizer="adagrad", fine=True, xmat=True):
     """-> (params dict {w0,w,v}, per-epoch mean losses).
 
-    fine=True (default) runs the 5x128-window kernels with the merged
-    backward+scatter — the bench.py headline configuration (2.13 ms
-    full-batch step vs 3.7 ms coarse, PARITY.md)."""
-    cfg = fm_kernel.KernelFMConfig(
-        n_features=ds.n_features, factor=factor, learning_rate=learning_rate,
-        l2=l2, exact=exact, wide_optimizer=wide_optimizer,
-        interpret=_interpret(), fine=fine,
-    )
+    Full-batch runs the design-matrix step by default (xmat=True: every
+    gather/scatter/row-reduce as dense matmuls against the plan-constant
+    Crow/Crow2 count matrices — 0.49 ms vs the 5x128-window kernels'
+    2.13 ms, numerically identical, PARITY.md). Streaming minibatches use
+    the fine-window Pallas kernels (fine=True), where the rank space is
+    too large to densify."""
     rng = jax.random.PRNGKey(seed)
     epoch_losses = []
 
-    if batch_size >= len(ds):
+    full_batch = batch_size >= len(ds)
+    cfg = fm_kernel.KernelFMConfig(
+        n_features=ds.n_features, factor=factor, learning_rate=learning_rate,
+        l2=l2, exact=exact, wide_optimizer=wide_optimizer,
+        interpret=_interpret(), fine=fine and not (full_batch and xmat),
+        xmat=xmat and full_batch,
+    )
+
+    if full_batch:
         # full-batch: one plan, zero per-step planning cost
         plan = fm_kernel.plan_batch(
-            ds.ids.astype(np.int64), ds.vals, ds.mask, ds.labels, fine=fine
+            ds.ids.astype(np.int64), ds.vals, ds.mask, ds.labels,
+            fine=cfg.fine
         )
         state = fm_kernel.init(rng, cfg, plan)
         step = fm_kernel.make_train_step(cfg, plan)
-        for epoch in range(epochs):
-            state, loss = step(state)
-            epoch_losses.append(float(loss))
-            if log:
-                log(f"epoch {epoch}: loss={epoch_losses[-1]:.5f}")
+        # all epochs in ONE dispatched scan — per-step dispatch costs more
+        # than the xmat step itself on tunneled backends
+        state, losses = fm_kernel.make_multi_step(step, epochs)(state)
+        epoch_losses = [float(l) for l in np.asarray(losses)]
+        if log:
+            for epoch, l in enumerate(epoch_losses):
+                log(f"epoch {epoch}: loss={l:.5f}")
         w0, w, v = fm_kernel.export_tables(state, plan, cfg)
         return {"w0": jnp.asarray(w0), "w": jnp.asarray(w),
                 "v": jnp.asarray(v)}, epoch_losses
@@ -124,14 +133,35 @@ def train_fm_kernel(ds, factor=8, learning_rate=0.05, l2=0.0, epochs=5,
 def train_nfm_kernel(ds, factor=8, hidden=(64,), learning_rate=0.05,
                      mlp_learning_rate=1e-3, l2=0.0, epochs=5,
                      batch_size=256, seed=0, exact=True, log=print,
-                     fine=True):
-    """-> (params dict {w0,w,v,mlp} for models/nfm, per-epoch losses)."""
+                     fine=True, xmat=True):
+    """-> (params dict {w0,w,v,mlp} for models/nfm, per-epoch losses).
+
+    Full-batch (batch_size >= rows) runs the design-matrix step
+    (xmat=True, see train_fm_kernel); minibatches stream through the
+    fine-window kernels."""
+    full_batch = batch_size >= len(ds)
     cfg = nfm_kernel.KernelNFMConfig(
         n_features=ds.n_features, factor=factor, hidden=tuple(hidden),
         learning_rate=learning_rate, mlp_learning_rate=mlp_learning_rate,
-        l2=l2, exact=exact, interpret=_interpret(), fine=fine,
+        l2=l2, exact=exact, interpret=_interpret(),
+        fine=fine and not (full_batch and xmat), xmat=xmat and full_batch,
     )
     rng = jax.random.PRNGKey(seed)
+
+    if full_batch:
+        plan = fm_kernel.plan_batch(
+            ds.ids.astype(np.int64), ds.vals, ds.mask, ds.labels,
+            fine=cfg.fine
+        )
+        state = nfm_kernel.init(rng, cfg, plan)
+        step = nfm_kernel.make_train_step(cfg, plan)
+        state, losses = fm_kernel.make_multi_step(step, epochs)(state)
+        epoch_losses = [float(l) for l in np.asarray(losses)]
+        if log:
+            for epoch, l in enumerate(epoch_losses):
+                log(f"epoch {epoch}: loss={l:.5f}")
+        return nfm_kernel.export_tables(state, plan, cfg), epoch_losses
+
     batch_size = min(batch_size, len(ds))
     capacity, b_pad = _streaming_dims(ds, batch_size, fine=fine)
     state = nfm_kernel.streaming_init(rng, cfg)
@@ -173,12 +203,11 @@ def train_ffm_kernel(ds, factor=4, learning_rate=0.05, l2=0.0, epochs=5,
     )
     state = ffm_kernel.init(jax.random.PRNGKey(seed), cfg, plan)
     step = ffm_kernel.make_train_step(cfg, plan)
-    epoch_losses = []
-    for epoch in range(epochs):
-        state, loss = step(state)
-        epoch_losses.append(float(loss))
-        if log:
-            log(f"epoch {epoch}: loss={epoch_losses[-1]:.5f}")
+    state, losses = fm_kernel.make_multi_step(step, epochs)(state)
+    epoch_losses = [float(l) for l in np.asarray(losses)]
+    if log:
+        for epoch, l in enumerate(epoch_losses):
+            log(f"epoch {epoch}: loss={l:.5f}")
     return ffm_kernel.export_params(state, plan, cfg), epoch_losses
 
 

@@ -1,0 +1,100 @@
+"""Design-matrix FM step (cfg.xmat) vs the Pallas kernel step.
+
+cfg.xmat replaces every position-space kernel with dense matmuls against
+the plan-constant count matrices Crow/Crow2; it must reproduce the
+kernel path's losses and weights exactly (both are fp32-faithful in
+exact mode).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lightctr_tpu.models import fm_kernel
+
+
+def _toy(seed=0, B=8, L=64, V=700):
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(0, V, (B, L)).astype(np.int64)
+    ids[:, :8] = rng.integers(0, 6, (B, 8))
+    mask = (rng.random((B, L)) > 0.2).astype(np.float32)
+    vals = rng.random((B, L)).astype(np.float32)  # non-unit x
+    labels = rng.integers(0, 2, (B,)).astype(np.float32)
+    return ids, vals, mask, labels
+
+
+def _run(cfg, plan, n_steps=4):
+    st = fm_kernel.init(jax.random.PRNGKey(0), cfg, plan)
+    step = fm_kernel.make_train_step(cfg, plan)
+    traj = []
+    for _ in range(n_steps):
+        st, loss = step(st)
+        traj.append(float(loss))
+    return traj, np.asarray(st.rows)
+
+
+def test_xmat_matches_kernel_step():
+    ids, vals, mask, labels = _toy()
+    V = 700
+    plan = fm_kernel.plan_batch(ids, vals, mask, labels)
+    base = dict(n_features=V, factor=4, learning_rate=0.1, l2=1e-4,
+                interpret=True, exact=True)
+    traj_k, rows_k = _run(fm_kernel.KernelFMConfig(**base), plan)
+    traj_x, rows_x = _run(fm_kernel.KernelFMConfig(**base, xmat=True), plan)
+    np.testing.assert_allclose(traj_x, traj_k, rtol=1e-5)
+    np.testing.assert_allclose(rows_x, rows_k, rtol=1e-4, atol=1e-6)
+
+
+def test_xmat_ftrl_wide_matches_kernel_step():
+    ids, vals, mask, labels = _toy(seed=1)
+    V = 700
+    plan = fm_kernel.plan_batch(ids, vals, mask, labels)
+    base = dict(n_features=V, factor=4, learning_rate=0.1,
+                wide_optimizer="ftrl", interpret=True, exact=True)
+    traj_k, rows_k = _run(fm_kernel.KernelFMConfig(**base), plan)
+    traj_x, rows_x = _run(fm_kernel.KernelFMConfig(**base, xmat=True), plan)
+    np.testing.assert_allclose(traj_x, traj_k, rtol=1e-5)
+    # fp32 reduction-order noise only (matmul vs one-hot accumulation)
+    np.testing.assert_allclose(rows_x, rows_k, rtol=1e-4, atol=1e-5)
+
+
+def test_count_matrices_values():
+    ids, vals, mask, labels = _toy(seed=2, B=4, L=128, V=60)
+    plan = fm_kernel.plan_batch(ids, vals, mask, labels)
+    Crow, Crow2 = fm_kernel.count_matrices(plan)
+    Crow, Crow2 = np.asarray(Crow), np.asarray(Crow2)
+    rid = np.asarray(plan.rowid_sorted)
+    rnk = np.asarray(plan.ranks_sorted)
+    xv = np.asarray(plan.xv_sorted)
+    want = np.zeros_like(Crow)
+    want2 = np.zeros_like(Crow2)
+    np.add.at(want, (rid, rnk), xv)
+    np.add.at(want2, (rid, rnk), xv * xv)
+    np.testing.assert_allclose(Crow, want, rtol=1e-6)
+    np.testing.assert_allclose(Crow2, want2, rtol=1e-6)
+    # every valid (row, id) weight is represented
+    assert np.isclose(Crow.sum(), (vals * mask).sum(), rtol=1e-5)
+
+
+def test_nfm_xmat_matches_kernel_step():
+    from lightctr_tpu.models import nfm_kernel
+
+    ids, vals, mask, labels = _toy(seed=3)
+    V = 700
+    plan = fm_kernel.plan_batch(ids, vals, mask, labels)
+    base = dict(n_features=V, factor=4, hidden=(8,), learning_rate=0.1,
+                interpret=True, exact=True)
+
+    trajs = {}
+    for xmat in (False, True):
+        cfg = nfm_kernel.KernelNFMConfig(**base, xmat=xmat)
+        st = nfm_kernel.init(jax.random.PRNGKey(0), cfg, plan)
+        step = nfm_kernel.make_train_step(cfg, plan)
+        traj = []
+        for _ in range(4):
+            st, loss = step(st)
+            traj.append(float(loss))
+        trajs[xmat] = (traj, np.asarray(st.rows))
+    np.testing.assert_allclose(trajs[True][0], trajs[False][0], rtol=1e-5)
+    np.testing.assert_allclose(trajs[True][1], trajs[False][1],
+                               rtol=1e-4, atol=1e-5)
