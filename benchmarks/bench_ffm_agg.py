@@ -18,12 +18,16 @@ import numpy as np
 
 
 def _time_chain(step, state, n_steps):
-    state, loss = step(state)
-    warm = float(loss)
+    """Scan-amortised timing (all steps in ONE dispatch — sub-ms steps are
+    dispatch-bound over the tunnel, see PARITY.md)."""
+    from lightctr_tpu.models.fm_kernel import make_multi_step
+
+    run = make_multi_step(step, n_steps)
+    _, losses = run(state)
+    warm = float(losses[0])
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, loss = step(state)
-    final = float(loss)   # forces the chained device work
+    _, losses = run(state)
+    final = float(losses[-1])   # forces the device work
     dt = (time.perf_counter() - t0) / n_steps
     return dt, warm, final
 

@@ -302,6 +302,47 @@ def _make_xmat_train_step(cfg: KernelFMConfig, plan: BatchPlan,
     return step
 
 
+def _xmat_rank_grads(cfg: KernelFMConfig, rows, w0, b, b_pad: int, R: int):
+    """Per-batch count-matrix forward/backward for the STREAMING steps
+    (cfg.xmat): Crow/Crow2 are built on device from the sorted plan arrays
+    by one scalar scatter-add each (padding positions carry xv=0 and
+    out-of-range rowids drop), then loss and gradients flow through dense
+    [b_pad, R] x [R, D] matmuls via autodiff — same math as the full-batch
+    xmat step, with the matrices as runtime data instead of plan
+    constants. Memory: 2 * b_pad * R * 4 bytes — the engine gates this on
+    capacity (production-scale R densifies to GBs; use the fine-window
+    kernels there). Returns (loss, grad_rows [R, D], g_w0)."""
+    n_k = cfg.factor
+    cdt = jnp.float32 if cfg.exact else jnp.bfloat16
+    rid, rnk = b["rowid_sorted"], b["ranks_sorted"]
+    xv = b["xv_sorted"]
+    Crow = (jnp.zeros((b_pad, R)).at[rid, rnk].add(xv, mode="drop")
+            .astype(cdt))
+    Crow2 = (jnp.zeros((b_pad, R)).at[rid, rnk].add(xv * xv, mode="drop")
+             .astype(cdt))
+    labels_p = b["labels_padded"]
+    rmask_p = b["row_mask_padded"]
+    n_valid = jnp.maximum(jnp.sum(rmask_p), 1.0)
+
+    def loss_fn(rows, w0):
+        V = rows[:, 1 : 1 + n_k]
+        s_aug = jnp.einsum("br,rk->bk", Crow,
+                           rows[:, : 1 + n_k].astype(cdt),
+                           preferred_element_type=jnp.float32)
+        wx, s = s_aug[:, 0], s_aug[:, 1:]
+        ss = jnp.einsum("br,rk->bk", Crow2, (V * V).astype(cdt),
+                        preferred_element_type=jnp.float32)
+        z = w0 + wx + 0.5 * jnp.sum(s * s - ss, axis=-1)
+        per = (jnp.maximum(z, 0) - z * labels_p
+               + jnp.log1p(jnp.exp(-jnp.abs(z))))
+        return jnp.sum(per * rmask_p) / n_valid
+
+    loss, (grad_rows, g0) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+        rows, w0
+    )
+    return loss, grad_rows, g0
+
+
 def make_multi_step(step, n_steps: int):
     """Fold n_steps train-step calls into ONE dispatched lax.scan program:
     `run(state, hyper=None) -> (state, losses[n_steps])`. Works for any of
@@ -541,33 +582,39 @@ def make_streaming_train_step(cfg: KernelFMConfig, capacity: int, b_pad: int):
         rows = state.table[uids]                # "pull" unique rows
         rows = rows.at[R - 1].set(0.0)          # pad rank row reads zero
 
-        rowsum, e_pos = kernel_forward(
-            cfg, rows, b["ranks_sorted"], b["rowid_sorted"], b["xv_sorted"],
-            b["tile_base"], b.get("tile_base_fine"), b_pad,
-        )
-        wx = rowsum[:, 0]
-        s = rowsum[:, 1 : 1 + n_k]
-        ss = rowsum[:, 1 + n_k : 1 + 2 * n_k]
-        logits = state.w0 + wx + 0.5 * jnp.sum(s * s - ss, axis=-1)
-        z = logits
-        labels_p = b["labels_padded"]
-        rmask_p = b["row_mask_padded"]
-        n_valid = jnp.maximum(jnp.sum(rmask_p), 1.0)
-        per = jnp.maximum(z, 0) - z * labels_p + jnp.log1p(jnp.exp(-jnp.abs(z)))
-        loss = jnp.sum(per * rmask_p) / n_valid
-        dlogit = (jax.nn.sigmoid(z) - labels_p) * rmask_p / n_valid
+        if cfg.xmat:
+            loss, grad_rows, g0 = _xmat_rank_grads(
+                cfg, rows, state.w0, b, b_pad, R)
+        else:
+            rowsum, e_pos = kernel_forward(
+                cfg, rows, b["ranks_sorted"], b["rowid_sorted"],
+                b["xv_sorted"], b["tile_base"], b.get("tile_base_fine"),
+                b_pad,
+            )
+            wx = rowsum[:, 0]
+            s = rowsum[:, 1 : 1 + n_k]
+            ss = rowsum[:, 1 + n_k : 1 + 2 * n_k]
+            z = state.w0 + wx + 0.5 * jnp.sum(s * s - ss, axis=-1)
+            labels_p = b["labels_padded"]
+            rmask_p = b["row_mask_padded"]
+            n_valid = jnp.maximum(jnp.sum(rmask_p), 1.0)
+            per = (jnp.maximum(z, 0) - z * labels_p
+                   + jnp.log1p(jnp.exp(-jnp.abs(z))))
+            loss = jnp.sum(per * rmask_p) / n_valid
+            dlogit = (jax.nn.sigmoid(z) - labels_p) * rmask_p / n_valid
 
-        duals = jnp.zeros((b_pad, K.S))
-        duals = duals.at[:, 0].set(dlogit)
-        duals = duals.at[:, 1 : 1 + n_k].set(dlogit[:, None] * s)
-        duals = duals.at[:, 1 + n_k : 1 + 2 * n_k].set(
-            jnp.broadcast_to(dlogit[:, None], (b_pad, n_k))
-        )
-        grad_rows = kernel_backward(
-            cfg, b["rowid_sorted"], b["xv_sorted"], e_pos, duals,
-            b["ranks_sorted"], b["tile_base"], b.get("tile_base_fine"),
-            b_pad, R,
-        )
+            duals = jnp.zeros((b_pad, K.S))
+            duals = duals.at[:, 0].set(dlogit)
+            duals = duals.at[:, 1 : 1 + n_k].set(dlogit[:, None] * s)
+            duals = duals.at[:, 1 + n_k : 1 + 2 * n_k].set(
+                jnp.broadcast_to(dlogit[:, None], (b_pad, n_k))
+            )
+            grad_rows = kernel_backward(
+                cfg, b["rowid_sorted"], b["xv_sorted"], e_pos, duals,
+                b["ranks_sorted"], b["tile_base"], b.get("tile_base_fine"),
+                b_pad, R,
+            )
+            g0 = jnp.sum(dlogit)
         grad_rows = grad_rows + l2 * rows
 
         # row-sparse adagrad "push": padding rows redirected out of bounds
@@ -580,7 +627,6 @@ def make_streaming_train_step(cfg: KernelFMConfig, capacity: int, b_pad: int):
         accum = state.accum.at[safe_uids].set(acc_rows, mode="drop")
         table = state.table.at[safe_uids].add(-upd, mode="drop")
 
-        g0 = jnp.sum(dlogit)
         w0_accum = state.w0_accum + g0 * g0
         w0 = state.w0 - lr * g0 / (jnp.sqrt(w0_accum) + 1e-7)
         return StreamingFMState(w0, w0_accum, table, accum), loss
@@ -649,32 +695,39 @@ def make_streaming_train_step_packed(cfg: KernelFMConfig, capacity: int,
         acc = pulled[:, D:]
         rows = rows.at[R - 1].set(0.0)
 
-        rowsum, e_pos = kernel_forward(
-            cfg, rows, b["ranks_sorted"], b["rowid_sorted"], b["xv_sorted"],
-            b["tile_base"], b.get("tile_base_fine"), b_pad,
-        )
-        wx = rowsum[:, 0]
-        s = rowsum[:, 1 : 1 + n_k]
-        ss = rowsum[:, 1 + n_k : 1 + 2 * n_k]
-        z = state.w0 + wx + 0.5 * jnp.sum(s * s - ss, axis=-1)
-        labels_p = b["labels_padded"]
-        rmask_p = b["row_mask_padded"]
-        n_valid = jnp.maximum(jnp.sum(rmask_p), 1.0)
-        per = jnp.maximum(z, 0) - z * labels_p + jnp.log1p(jnp.exp(-jnp.abs(z)))
-        loss = jnp.sum(per * rmask_p) / n_valid
-        dlogit = (jax.nn.sigmoid(z) - labels_p) * rmask_p / n_valid
+        if cfg.xmat:
+            loss, grad_rows, g0 = _xmat_rank_grads(
+                cfg, rows, state.w0, b, b_pad, R)
+        else:
+            rowsum, e_pos = kernel_forward(
+                cfg, rows, b["ranks_sorted"], b["rowid_sorted"],
+                b["xv_sorted"], b["tile_base"], b.get("tile_base_fine"),
+                b_pad,
+            )
+            wx = rowsum[:, 0]
+            s = rowsum[:, 1 : 1 + n_k]
+            ss = rowsum[:, 1 + n_k : 1 + 2 * n_k]
+            z = state.w0 + wx + 0.5 * jnp.sum(s * s - ss, axis=-1)
+            labels_p = b["labels_padded"]
+            rmask_p = b["row_mask_padded"]
+            n_valid = jnp.maximum(jnp.sum(rmask_p), 1.0)
+            per = (jnp.maximum(z, 0) - z * labels_p
+                   + jnp.log1p(jnp.exp(-jnp.abs(z))))
+            loss = jnp.sum(per * rmask_p) / n_valid
+            dlogit = (jax.nn.sigmoid(z) - labels_p) * rmask_p / n_valid
 
-        duals = jnp.zeros((b_pad, K.S))
-        duals = duals.at[:, 0].set(dlogit)
-        duals = duals.at[:, 1 : 1 + n_k].set(dlogit[:, None] * s)
-        duals = duals.at[:, 1 + n_k : 1 + 2 * n_k].set(
-            jnp.broadcast_to(dlogit[:, None], (b_pad, n_k))
-        )
-        grad_rows = kernel_backward(
-            cfg, b["rowid_sorted"], b["xv_sorted"], e_pos, duals,
-            b["ranks_sorted"], b["tile_base"], b.get("tile_base_fine"),
-            b_pad, R,
-        )
+            duals = jnp.zeros((b_pad, K.S))
+            duals = duals.at[:, 0].set(dlogit)
+            duals = duals.at[:, 1 : 1 + n_k].set(dlogit[:, None] * s)
+            duals = duals.at[:, 1 + n_k : 1 + 2 * n_k].set(
+                jnp.broadcast_to(dlogit[:, None], (b_pad, n_k))
+            )
+            grad_rows = kernel_backward(
+                cfg, b["rowid_sorted"], b["xv_sorted"], e_pos, duals,
+                b["ranks_sorted"], b["tile_base"], b.get("tile_base_fine"),
+                b_pad, R,
+            )
+            g0 = jnp.sum(dlogit)
         grad_rows = grad_rows + l2 * rows
 
         pos = jnp.arange(R)
@@ -687,7 +740,6 @@ def make_streaming_train_step_packed(cfg: KernelFMConfig, capacity: int,
             jnp.concatenate([rows_new, acc_new], axis=1), mode="drop"
         )                                        # ONE [R, 32] scatter
 
-        g0 = jnp.sum(dlogit)
         w0_accum = state.w0_accum + g0 * g0
         w0 = state.w0 - lr * g0 / (jnp.sqrt(w0_accum) + 1e-7)
         return StreamingFMStatePacked(w0, w0_accum, packed), loss

@@ -35,6 +35,11 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# streaming xmat gate: Crow+Crow2 ([b_pad, capacity] fp32 each) must fit
+# comfortably next to the master tables (v5e HBM 16 GB)
+XMAT_STREAM_MAX_BYTES = 256 * 1024 * 1024
+
+
 def _interpret() -> bool:
     """Pallas interpret mode off TPU (CPU tests/CLI runs use the same code
     path through the interpreter; compiled Mosaic on real chips)."""
@@ -68,11 +73,19 @@ def train_fm_kernel(ds, factor=8, learning_rate=0.05, l2=0.0, epochs=5,
     epoch_losses = []
 
     full_batch = batch_size >= len(ds)
+    if full_batch:
+        use_xmat = xmat
+    else:
+        # streaming xmat densifies the batch into [b_pad, capacity] count
+        # matrices — only profitable/feasible when that fits comfortably
+        # (production-scale capacities go to the fine-window kernels)
+        capacity, b_pad = _streaming_dims(ds, batch_size, fine=fine)
+        use_xmat = xmat and 2 * b_pad * capacity * 4 <= XMAT_STREAM_MAX_BYTES
     cfg = fm_kernel.KernelFMConfig(
         n_features=ds.n_features, factor=factor, learning_rate=learning_rate,
         l2=l2, exact=exact, wide_optimizer=wide_optimizer,
-        interpret=_interpret(), fine=fine and not (full_batch and xmat),
-        xmat=xmat and full_batch,
+        interpret=_interpret(), fine=fine and not use_xmat,
+        xmat=use_xmat,
     )
 
     if full_batch:
@@ -94,7 +107,6 @@ def train_fm_kernel(ds, factor=8, learning_rate=0.05, l2=0.0, epochs=5,
         return {"w0": jnp.asarray(w0), "w": jnp.asarray(w),
                 "v": jnp.asarray(v)}, epoch_losses
 
-    capacity, b_pad = _streaming_dims(ds, batch_size, fine=fine)
     # packed [V, 32] master layout: one row-gather + one row-scatter per
     # step (same trajectory as unpacked — tests/test_fm_streaming.py;
     # measured +52% at 10M vocab, PARITY.md)

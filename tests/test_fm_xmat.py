@@ -76,6 +76,52 @@ def test_count_matrices_values():
     assert np.isclose(Crow.sum(), (vals * mask).sum(), rtol=1e-5)
 
 
+def test_streaming_xmat_matches_kernel_step():
+    """Packed streaming step with cfg.xmat (per-batch device-built count
+    matrices) must reproduce the kernel streaming trajectory exactly."""
+    ids, vals, mask, labels = _toy(seed=4, B=8, L=64, V=700)
+    V = 700
+    capacity = 1024
+    b_pad = 128
+    base = dict(n_features=V, factor=4, learning_rate=0.1, l2=1e-4,
+                interpret=True, exact=True)
+
+    trajs = {}
+    for xmat in (False, True):
+        cfg = fm_kernel.KernelFMConfig(**base, xmat=xmat)
+        state = fm_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg)
+        step = fm_kernel.make_streaming_train_step_packed(cfg, capacity,
+                                                          b_pad)
+        traj = []
+        for s in range(3):
+            b = fm_kernel.plan_batch_on_device(
+                jnp.asarray(np.roll(ids, s, axis=0).astype(np.int32)),
+                jnp.asarray(vals), jnp.asarray(mask), jnp.asarray(labels),
+                jnp.asarray(np.ones(ids.shape[0], np.float32)),
+                capacity=capacity, b_pad=b_pad,
+            )
+            state, loss = step(state, b)
+            traj.append(float(loss))
+        trajs[xmat] = (traj, np.asarray(state.packed))
+    np.testing.assert_allclose(trajs[True][0], trajs[False][0], rtol=1e-5)
+    # fp32 reduction-order noise compounds over 3 adagrad steps
+    np.testing.assert_allclose(trajs[True][1], trajs[False][1],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_kernel_engine_picks_streaming_xmat():
+    """The CLI engine routes small-capacity streaming to xmat and still
+    trains (loss falls)."""
+    from lightctr_tpu.data import load_libffm
+    from lightctr_tpu.train.kernel_engine import train_fm_kernel
+
+    ds = load_libffm("/root/reference/data/train_sparse.csv")
+    params, losses = train_fm_kernel(ds, factor=4, epochs=2, batch_size=250,
+                                     learning_rate=0.05, log=None)
+    assert losses[-1] < losses[0]
+    assert params["v"].shape == (ds.n_features, 4)
+
+
 def test_nfm_xmat_matches_kernel_step():
     from lightctr_tpu.models import nfm_kernel
 
