@@ -221,23 +221,28 @@ def _logits_from_counts(table, w0, C, ranks, fields, xv,
 def make_train_step(cfg: KernelFFMConfig, plan: FFMBatchPlan):
     R = plan.n_rows_pad
     n_valid = plan.n_valid_rows
+    # The big plan-derived tensors (count matrix C at [B*F, R], one-hot
+    # field tensors at [B, L, F]) are built INSIDE the jitted loss from the
+    # small [B, L] plan arrays: a closed-over device array is serialized
+    # into the HLO as a literal, and at full-batch scale that blows the
+    # remote-compile request-size limit (HTTP 413 over the tunnel). Built
+    # in-graph they are scan-loop invariants XLA hoists out of the epoch
+    # loop, so the amortised cost is unchanged.
     if cfg.agg:
-        # plan-constant count matrix: built once, reused every epoch
         cdt = jnp.float32 if cfg.exact else jnp.bfloat16
-        C = count_matrix(plan.ranks, plan.fields, plan.xv, R,
-                         cfg.n_fields, cdt)
 
         def loss_fn(table, w0):
+            C = count_matrix(plan.ranks, plan.fields, plan.xv, R,
+                             cfg.n_fields, cdt)
             z = _logits_from_counts(table, w0, C, plan.ranks, plan.fields,
                                     plan.xv, cfg)
             per = (jnp.maximum(z, 0) - z * plan.labels
                    + jnp.log1p(jnp.exp(-jnp.abs(z))))
             return jnp.sum(per * plan.row_mask) / n_valid
     else:
-        onehot_f = jax.nn.one_hot(plan.fields, cfg.n_fields)  # [B, L, F]
-        weighted = onehot_f * plan.xv[..., None]
-
         def loss_fn(table, w0):
+            onehot_f = jax.nn.one_hot(plan.fields, cfg.n_fields)  # [B,L,F]
+            weighted = onehot_f * plan.xv[..., None]
             z = _logits_from_table(table, w0, plan, cfg, onehot_f, weighted)
             per = (jnp.maximum(z, 0) - z * plan.labels
                    + jnp.log1p(jnp.exp(-jnp.abs(z))))
