@@ -749,14 +749,19 @@ def make_streaming_train_step_packed(cfg: KernelFMConfig, capacity: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("capacity", "b_pad", "n_pad_multiple"))
+@functools.partial(
+    jax.jit, static_argnames=("capacity", "b_pad", "n_pad_multiple")
+)
 def plan_batch_on_device(ids, vals, mask, labels, row_mask,
                          capacity: int, b_pad: int,
                          n_pad_multiple: int | None = None) -> dict:
     """DEVICE-side batch planning for the streaming kernel step: one
-    argsort + cumsum dedup + tile-window extraction, entirely under jit —
-    no host numpy in the per-batch path. Replaces plan_batch's host
-    argsort (the reference worker builds its per-batch key set inline the
-    same way, distributed_algo_abst.h:181-190).
+    argsort + cumsum dedup + tile-window extraction, entirely under ONE
+    jit (eager ops each dispatch separately over the tunneled backend —
+    ~25 dispatches ≈ 8 ms/batch; jitted it is one) — no host numpy in the
+    per-batch path. Replaces plan_batch's host argsort (the reference
+    worker builds its per-batch key set inline the same way,
+    distributed_algo_abst.h:181-190).
 
     ids/vals/mask: [B, L] device arrays; labels/row_mask: [B].
     capacity: static unique-rank space (multiple of 2*TILE, > max uniques
