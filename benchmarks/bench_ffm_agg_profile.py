@@ -97,28 +97,31 @@ def main():
     timed(lambda s: run_carg(s, C0), state, "step_carg_ms",
           lambda o: float(o[1][-1]))
 
-    # ---- fwd_only: loss chained through a scalar carry
+    # ---- fwd_only: loss chained through a scalar carry (C as a jit ARG —
+    # a closure would serialize it into the HLO, HTTP 413)
     @jax.jit
-    def run_fwd(state):
+    def run_fwd(state, C):
         def body(acc, _):
             # acc feeds w0 with a tiny real perturbation so XLA cannot
             # hoist the whole loss out of the loop
-            l = loss_from_C(state.table, state.w0 + acc * 1e-20, C0)
+            l = loss_from_C(state.table, state.w0 + acc * 1e-20, C)
             return acc + l, l
         return jax.lax.scan(body, jnp.zeros(()), None, length=n_steps)
 
-    timed(run_fwd, state, "fwd_only_ms", lambda o: float(o[0]))
+    timed(lambda s: run_fwd(s, C0), state, "fwd_only_ms",
+          lambda o: float(o[0]))
 
     # ---- matmul_only: S = C @ table, table perturbed via carry
     @jax.jit
-    def run_mm(state):
+    def run_mm(state, C):
         def body(t, _):
-            S = jnp.einsum("pr,rd->pd", C0, t.astype(cdt),
+            S = jnp.einsum("pr,rd->pd", C, t.astype(cdt),
                            preferred_element_type=jnp.float32)
             return t + 1e-12 * jnp.sum(S), jnp.sum(S[0])
         return jax.lax.scan(body, state.table, None, length=n_steps)
 
-    timed(run_mm, state, "matmul_only_ms", lambda o: float(o[1][-1]))
+    timed(lambda s: run_mm(s, C0), state, "matmul_only_ms",
+          lambda o: float(o[1][-1]))
 
     print("FINAL " + json.dumps(out))
 

@@ -221,26 +221,32 @@ def _logits_from_counts(table, w0, C, ranks, fields, xv,
 def make_train_step(cfg: KernelFFMConfig, plan: FFMBatchPlan):
     R = plan.n_rows_pad
     n_valid = plan.n_valid_rows
-    # The big plan-derived tensors (count matrix C at [B*F, R], one-hot
-    # field tensors at [B, L, F]) are built INSIDE the jitted loss from the
-    # small [B, L] plan arrays: a closed-over device array is serialized
-    # into the HLO as a literal, and at full-batch scale that blows the
-    # remote-compile request-size limit (HTTP 413 over the tunnel). Built
-    # in-graph they are scan-loop invariants XLA hoists out of the epoch
-    # loop, so the amortised cost is unchanged.
+    # The big plan-constant count matrix C ([B*F, R], ~GB at full-batch
+    # scale) must NOT be a jit closure constant: closed-over device arrays
+    # are serialized into the HLO as literals, which blows the
+    # remote-compile request-size limit (HTTP 413 over the tunnel). It
+    # must also NOT be rebuilt in-graph every step: XLA does NOT hoist the
+    # build out of the epoch scan (measured 23.2 ms in-graph vs 12.93 ms
+    # as-argument — benchmarks/bench_ffm_agg_profile.py). So C is built
+    # ONCE eagerly and threaded through the jit boundary as a runtime
+    # argument; make_multi_step picks it up via the _stepfn/_consts
+    # attributes and does the same inside its scan wrapper.
     if cfg.agg:
         cdt = jnp.float32 if cfg.exact else jnp.bfloat16
+        consts = count_matrix(plan.ranks, plan.fields, plan.xv, R,
+                              cfg.n_fields, cdt)
 
-        def loss_fn(table, w0):
-            C = count_matrix(plan.ranks, plan.fields, plan.xv, R,
-                             cfg.n_fields, cdt)
+        def loss_fn(table, w0, C):
             z = _logits_from_counts(table, w0, C, plan.ranks, plan.fields,
                                     plan.xv, cfg)
             per = (jnp.maximum(z, 0) - z * plan.labels
                    + jnp.log1p(jnp.exp(-jnp.abs(z))))
             return jnp.sum(per * plan.row_mask) / n_valid
     else:
-        def loss_fn(table, w0):
+        consts = None
+
+        def loss_fn(table, w0, C):
+            del C
             onehot_f = jax.nn.one_hot(plan.fields, cfg.n_fields)  # [B,L,F]
             weighted = onehot_f * plan.xv[..., None]
             z = _logits_from_table(table, w0, plan, cfg, onehot_f, weighted)
@@ -248,14 +254,13 @@ def make_train_step(cfg: KernelFFMConfig, plan: FFMBatchPlan):
                    + jnp.log1p(jnp.exp(-jnp.abs(z))))
             return jnp.sum(per * plan.row_mask) / n_valid
 
-    @jax.jit
-    def step(state: KernelFFMState, hyper=None):
+    def raw_step(state: KernelFFMState, hyper, consts):
         # hyper: optional [lr, l2] runtime override (one compile across
         # hyperparameter sweeps — compiles are expensive over the tunnel)
         lr = cfg.learning_rate if hyper is None else hyper[0]
         l2 = cfg.l2 if hyper is None else hyper[1]
         loss, (g_table, g_w0) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
-            state.table, state.w0
+            state.table, state.w0, consts
         )
         g_table = g_table + l2 * state.table
         accum = state.accum + g_table * g_table
@@ -265,6 +270,13 @@ def make_train_step(cfg: KernelFFMConfig, plan: FFMBatchPlan):
         w0 = state.w0 - lr * g_w0 / (jnp.sqrt(w0_accum) + 1e-7)
         return KernelFFMState(w0, w0_accum, table, accum), loss
 
+    jitted = jax.jit(raw_step)
+
+    def step(state: KernelFFMState, hyper=None):
+        return jitted(state, hyper, consts)
+
+    step._stepfn = raw_step
+    step._consts = consts
     return step
 
 

@@ -353,7 +353,27 @@ def make_multi_step(step, n_steps: int):
     reference's regime is 1000 full-batch epochs, train_fm_algo.cpp:38):
     per-step dispatch over a tunneled backend costs ~0.3-0.5 ms — more
     than the xmat step itself — and one scan returns every epoch's loss
-    in a single readback."""
+    in a single readback.
+
+    Steps that carry large plan-constant tensors (the count-matrix FFM
+    engine) expose them via `_stepfn`/`_consts` attributes; those are
+    threaded through the jit boundary as RUNTIME arguments — neither
+    HLO-literal constants (remote-compile size limit) nor rebuilt inside
+    the scan (XLA does not hoist the build; measured 23.2 -> 12.93 ms,
+    benchmarks/bench_ffm_agg_profile.py)."""
+    stepfn = getattr(step, "_stepfn", None)
+    if stepfn is not None:
+        consts = step._consts
+
+        @jax.jit
+        def run_c(state, hyper, consts):
+            def body(s, _):
+                s2, loss = stepfn(s, hyper, consts)
+                return s2, loss
+            return jax.lax.scan(body, state, None, length=n_steps)
+
+        return lambda state, hyper=None: run_c(state, hyper, consts)
+
     @jax.jit
     def run(state, hyper=None):
         def body(s, _):

@@ -11,9 +11,10 @@ Engines:
         batch_size >= dataset rows (the reference FM regime,
         train_fm_algo.cpp:38).
   nfm — same streaming cycle plus the XLA MLP tower.
-  ffm — full-batch on the count-matrix (agg) engine by default: 23.2 ms
-        vs the dense-sweep kernels' 43.1 ms on the bundled data (PARITY.md),
-        and pure XLA so the CPU/interpret path is usable too.
+  ffm — full-batch on the count-matrix (agg) engine by default: 12.9 ms
+        vs the dense-sweep kernels' 43.1 ms on the bundled data (PARITY.md,
+        50x the reference FFM), and pure XLA so the CPU/interpret path is
+        usable too.
 
 Each returns a params dict in the corresponding dense model's format, so
 checkpointing (train/checkpoint.py) and scoring (serve/scorer.py) are the
@@ -208,8 +209,8 @@ def train_ffm_kernel(ds, factor=4, learning_rate=0.05, l2=0.0, epochs=5,
                      seed=0, exact=False, agg=True, log=print):
     """Full-batch kernel FFM -> (params dict {w0,w,v}, per-epoch losses).
 
-    agg=True (default) runs the count-matrix engine — 1.86x the one-hot
-    sweep on TPU (23.2 vs 43.1 ms/step, PARITY.md) and plain XLA, so CPU
+    agg=True (default) runs the count-matrix engine — 3.3x the one-hot
+    sweep on TPU (12.9 vs 43.1 ms/step, PARITY.md) and plain XLA, so CPU
     runs don't pay interpret-mode Pallas; agg=False keeps the sweep."""
     cfg = ffm_kernel.KernelFFMConfig(
         n_features=ds.n_features, n_fields=ds.n_fields, factor=factor,
