@@ -138,22 +138,40 @@ def main():
       f"{min(mb_tail):.3f}–{max(mb_tail):.3f}, default recipe "
       f"{min(df_tail):.3f}–{max(df_tail):.3f}.")
     w("")
-    w("Forensics on the matched-hypers gap (the honest finding): a")
-    w("deterministic NumPy replica of the reference's exact formulas")
-    w("(per-occurrence L2, eps-inside-sqrt Adagrad, g!=0 skip, N(0,1/k)")
-    w("init, +-16 sigmoid clamp) reproduces the binary's TRAIN-loss")
-    w("trajectory (both pass ~14507 at epoch 1 and anneal to ~70 by epoch")
-    w("29) yet lands at ~0.51 test AUC like our framework — while the")
-    w("binary (multi-threaded AND single-threaded rebuilds) ends")
-    w("0.55–0.63. AUC implementations agree (our evaluator scores the")
-    w("binary's dumped predictions at 0.600 vs its printed 0.592; exact")
-    w("Mann-Whitney 0.592); data files are md5-identical; test OOV is")
-    w("1/55321 tokens. The residual difference is in C-library RNG draw")
-    w("interplay/fp ordering, not in any formula we could isolate — and")
-    w("it sits inside the +-0.1 seed envelope PARITY.md measured. Under")
-    w("our DEFAULT recipe (last column) the framework ends at or above")
-    w("the reference's band; round-1 PARITY.md measured 0.60–0.62 for")
-    w("the same recipe at k=8.")
+    w("Forensics on the matched-hypers gap — SETTLED by init transplant")
+    w("(round 2 cont.; benchmarks/ref_instrument.py +")
+    w("benchmarks/fm_reference_replica.py). The instrumented binary dumps")
+    w("its initial W/V and per-epoch snapshots; a NumPy replica of the")
+    w("trainer's exact formulas (per-occurrence L2, gradW reused as the")
+    w("V-grad scalar, eps-inside-sqrt Adagrad, g!=0 skip, ±16 sigmoid")
+    w("clamp), SEEDED WITH THE BINARY'S OWN INIT, matches the")
+    w("single-threaded binary parameter-for-parameter: |dW|max 2.4e-4,")
+    w("|dV|max 2.7e-4, p99 6.5e-7 after 30 full epochs (pure fp32-vs-fp64")
+    w("rounding). The trainer is formula-exact on both sides.")
+    w("")
+    w("The gap was the reference's EVALUATION, not its training:")
+    w("`FM_Predict` computes the test pairwise term from")
+    w("`fm->getSumVX(rid)` — the TRAINING-set per-row ΣxV cache indexed by")
+    w("TEST row id (fm_predict.cpp:21-33) — i.e. every test prediction")
+    w("mixes in a train row's interaction norm computed from the previous")
+    w("epoch's V: a train-cache leak. Reproducing that leak verbatim on the")
+    w("replica's parameters overlays the binary's printed 30-epoch AUC")
+    w("curve to the 4th decimal at every epoch (seed 7:")
+    w("0.4958 0.5000 0.5522 … 0.5751). Scoring the binary's own final")
+    w("dumped parameters CLEANLY (its exact FM forward on the actual test")
+    w("features) gives test AUC 0.4917 (with its loader quirk) / 0.4867")
+    w("(full rows) — inside our matched-hypers band. The reference's")
+    w("published 0.55–0.63 \"test AUC\" is the leak's artifact; the model it")
+    w("actually trains generalises at ~0.49 on this data. (The leak is")
+    w("FM-only: the FFM branch of the same predictor computes pairwise")
+    w("terms from the test rows directly, which is why reference FFM never")
+    w("lifts off 0.50 below.) The 4-thread binary additionally races its")
+    w("shared grad buffer — vs the deterministic replica its epoch-1 V")
+    w("already shows full-first-step sign flips (|dV|max ≈ 2·lr) — but its")
+    w("printed curve stays close to the single-threaded one. Under our")
+    w("DEFAULT recipe (last column) the framework ends at or above the")
+    w("reference's printed band even though that band is inflated;")
+    w("round-1 PARITY.md measured 0.60–0.62 for the same recipe at k=8.")
     w("")
     w("## FFM k=4 — test AUC per epoch")
     w("")
