@@ -89,3 +89,34 @@ def test_count_matrix_values():
         for l in range(L):
             want[b * F + fields[b, l], ranks[b, l]] += xv[b, l]
     np.testing.assert_allclose(C, want, rtol=1e-6)
+
+
+def test_multi_step_threads_consts():
+    """make_multi_step must thread the agg engine's plan-constant count
+    matrix (_stepfn/_consts) through the jit boundary as a runtime
+    argument and reproduce the per-step python loop exactly — the scan
+    wrapper is the product path (cli train --engine kernel --model ffm)."""
+    from lightctr_tpu.models.fm_kernel import make_multi_step
+
+    ids, vals, mask, fields, labels = _toy_batch(seed=5)
+    V, F, Kf = 300, 6, 4
+    plan = ffm_kernel.plan_batch(ids, vals, mask, fields, labels)
+    cfg = ffm_kernel.KernelFFMConfig(
+        n_features=V, n_fields=F, factor=Kf, learning_rate=0.1,
+        l2=1e-4, interpret=True, exact=True, agg=True,
+    )
+    step = ffm_kernel.make_train_step(cfg, plan)
+    assert step._consts is not None  # the agg engine carries C
+
+    st = ffm_kernel.init(jax.random.PRNGKey(1), cfg, plan)
+    want = []
+    s = st
+    for _ in range(5):
+        s, loss = step(s)
+        want.append(float(loss))
+
+    run = make_multi_step(step, 5)
+    s2, losses = run(st)
+    np.testing.assert_allclose(np.asarray(losses), want, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s2.table), np.asarray(s.table),
+                               rtol=1e-6, atol=1e-8)
