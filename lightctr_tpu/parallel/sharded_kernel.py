@@ -479,7 +479,9 @@ def make_sharded_streaming_ffm_step(cfg, capacity: int, mesh: Mesh):
     (train_ffm_algo.cpp:51-116 + paramserver.h:122-300)."""
     from ..models.ffm_kernel import (
         StreamingFFMState,
+        _logits_from_counts,
         _logits_from_rank_rows,
+        count_matrix,
     )
 
     R = capacity
@@ -506,16 +508,30 @@ def make_sharded_streaming_ffm_step(cfg, capacity: int, mesh: Mesh):
         rows = jax.lax.psum(rows, "model")
         rows = rows.at[R - 1].set(0.0)
 
-        onehot_f = jax.nn.one_hot(b["fields"], cfg.n_fields)
-        weighted = onehot_f * b["xv"][..., None]
         n_valid = jnp.maximum(jnp.sum(b["row_mask"]), 1.0)
+        if cfg.agg:
+            # count-matrix engine (the full-batch product path's math,
+            # per-batch C built in-graph — B is minibatch-sized here)
+            cdt = jnp.float32 if cfg.exact else jnp.bfloat16
+            C = count_matrix(b["ranks"], b["fields"], b["xv"], R,
+                             cfg.n_fields, cdt)
 
-        def loss_fn(rows, w0):
-            z = _logits_from_rank_rows(rows, w0, b["ranks"], b["xv"], cfg,
-                                       onehot_f, weighted)
-            per = (jnp.maximum(z, 0) - z * b["labels"]
-                   + jnp.log1p(jnp.exp(-jnp.abs(z))))
-            return jnp.sum(per * b["row_mask"]) / n_valid
+            def loss_fn(rows, w0):
+                z = _logits_from_counts(rows, w0, C, b["ranks"],
+                                        b["fields"], b["xv"], cfg)
+                per = (jnp.maximum(z, 0) - z * b["labels"]
+                       + jnp.log1p(jnp.exp(-jnp.abs(z))))
+                return jnp.sum(per * b["row_mask"]) / n_valid
+        else:
+            onehot_f = jax.nn.one_hot(b["fields"], cfg.n_fields)
+            weighted = onehot_f * b["xv"][..., None]
+
+            def loss_fn(rows, w0):
+                z = _logits_from_rank_rows(rows, w0, b["ranks"], b["xv"],
+                                           cfg, onehot_f, weighted)
+                per = (jnp.maximum(z, 0) - z * b["labels"]
+                       + jnp.log1p(jnp.exp(-jnp.abs(z))))
+                return jnp.sum(per * b["row_mask"]) / n_valid
 
         loss, (g_rows, g_w0) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
             rows, w0

@@ -219,3 +219,53 @@ def test_sharded_streaming_nfm_matches_single_device(sparse_small):
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
         jax.device_get(state_8.mlp), state_1.mlp,
     )
+
+
+def test_sharded_streaming_ffm_matches_single_device():
+    """Model-axis-sharded streaming FFM == single-device streaming FFM,
+    for BOTH engines (one-hot sweep and count-matrix agg). Capability:
+    the reference FFM under its PS cluster (train_ffm_algo.cpp:51-116 +
+    paramserver.h:122-300) — the FFM table is (1 + F*K)-wide per row,
+    the heaviest of the kernel family."""
+    from lightctr_tpu.models import ffm_kernel
+    from lightctr_tpu.parallel.sharded_kernel import (
+        make_sharded_streaming_ffm_step,
+        shard_streaming_ffm_state,
+    )
+
+    rng = np.random.default_rng(4)
+    V, F, Kf, B, L = 1024, 6, 4, 32, 12
+    capacity = 512
+    mesh = make_mesh(data=1, model=8)
+
+    for agg in (False, True):
+        cfg = ffm_kernel.KernelFFMConfig(
+            n_features=V, n_fields=F, factor=Kf, learning_rate=0.2,
+            l2=1e-4, interpret=True, exact=True, agg=agg,
+        )
+        state_1 = ffm_kernel.streaming_init(jax.random.PRNGKey(0), cfg)
+        state_8 = shard_streaming_ffm_state(
+            ffm_kernel.streaming_init(jax.random.PRNGKey(0), cfg), mesh
+        )
+        step_1 = ffm_kernel.make_streaming_train_step(cfg, capacity)
+        step_8 = make_sharded_streaming_ffm_step(cfg, capacity, mesh)
+
+        losses_1, losses_8 = [], []
+        for i in range(6):
+            ids = rng.integers(0, V, (B, L)).astype(np.int64)
+            plan = ffm_kernel.plan_batch(
+                ids, np.ones((B, L), np.float32), np.ones((B, L), np.float32),
+                (ids % F).astype(np.int32),
+                ((ids < 200).sum(axis=1) > 3).astype(np.float32),
+                n_rows_pad=capacity,
+            )
+            arrays = ffm_kernel.plan_to_arrays(plan, capacity)
+            state_1, l1 = step_1(state_1, arrays)
+            state_8, l8 = step_8(state_8, arrays)
+            losses_1.append(float(l1))
+            losses_8.append(float(l8))
+
+        np.testing.assert_allclose(losses_8, losses_1, rtol=1e-5)
+        t1 = np.asarray(state_1.table)
+        t8 = np.asarray(jax.device_get(state_8.table))
+        np.testing.assert_allclose(t8, t1, rtol=1e-4, atol=1e-6)
