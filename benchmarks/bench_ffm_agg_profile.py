@@ -123,6 +123,24 @@ def main():
     timed(lambda s: run_mm(s, C0), state, "matmul_only_ms",
           lambda o: float(o[1][-1]))
 
+    # ---- backward-shape matmul: dtable = einsum('pr,pd->rd', C, dS) —
+    # contracts the MAJOR dim of C; if XLA relayouts/transposes C for the
+    # MXU this measures slower than matmul_only and a precomputed C^T
+    # const would pay off in the product step
+    BF = plan.labels.shape[0] * cfg.n_fields
+    dS0 = jnp.ones((BF, cfg.row_width), jnp.float32) * 1e-3
+
+    @jax.jit
+    def run_mm_t(dS, C):
+        def body(d, _):
+            g = jnp.einsum("pr,pd->rd", C, d.astype(cdt),
+                           preferred_element_type=jnp.float32)
+            return d + 1e-12 * jnp.sum(g), jnp.sum(g[0])
+        return jax.lax.scan(body, dS, None, length=n_steps)
+
+    timed(lambda s: run_mm_t(dS0, C0), state, "matmul_T_only_ms",
+          lambda o: float(o[1][-1]))
+
     print("FINAL " + json.dumps(out))
 
 
