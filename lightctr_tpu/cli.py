@@ -194,16 +194,19 @@ def main(argv=None):
             if args.model not in ("fm", "nfm", "ffm"):
                 raise SystemExit(
                     f"--engine kernel supports fm/nfm/ffm, not {args.model}")
-            if args.mesh:
-                raise SystemExit(
-                    "--engine kernel + --mesh: use the sharded kernel API "
-                    "(parallel/sharded_kernel.py) — CLI wiring is dense-only")
             from .train.kernel_engine import KERNEL_ENGINES
             from .train.loop import evaluate
 
             exact = args.kernel_precision == "exact"
             kw = dict(factor=args.factor, learning_rate=args.lr, l2=args.l2,
                       epochs=args.epochs, seed=args.seed, exact=exact)
+            if args.mesh:
+                # sharded streaming kernel trainers: master tables
+                # row-sharded over `model`, positions over `data` (FM)
+                from .parallel import make_mesh
+
+                d, m = (int(x) for x in args.mesh.split("x"))
+                kw["mesh"] = make_mesh(data=d, model=m)
             if args.model == "fm":
                 kw.update(batch_size=args.batch_size,
                           wide_optimizer=("ftrl" if args.optimizer == "ftrl"

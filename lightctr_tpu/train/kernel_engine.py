@@ -63,7 +63,8 @@ def _streaming_dims(ds, batch_size: int, fine: bool = False):
 
 def train_fm_kernel(ds, factor=8, learning_rate=0.05, l2=0.0, epochs=5,
                     batch_size=256, seed=0, exact=True, log=print,
-                    wide_optimizer="adagrad", fine=True, xmat=True):
+                    wide_optimizer="adagrad", fine=True, xmat=True,
+                    mesh=None):
     """-> (params dict {w0,w,v}, per-epoch mean losses).
 
     Full-batch runs the design-matrix step by default (xmat=True: every
@@ -71,7 +72,18 @@ def train_fm_kernel(ds, factor=8, learning_rate=0.05, l2=0.0, epochs=5,
     Crow/Crow2 count matrices — 0.49 ms vs the 5x128-window kernels'
     2.13 ms, numerically identical, PARITY.md). Streaming minibatches use
     the fine-window Pallas kernels (fine=True), where the rank space is
-    too large to densify."""
+    too large to densify.
+
+    mesh: a (data, model) jax Mesh routes training to the sharded
+    streaming trainers (parallel/sharded_kernel.py) — master tables
+    row-sharded over `model` (the PS capability), positions over `data`
+    when the data axis is >1."""
+    if mesh is not None:
+        return _train_fm_kernel_sharded(
+            ds, mesh, factor=factor, learning_rate=learning_rate, l2=l2,
+            epochs=epochs, batch_size=batch_size, seed=seed, exact=exact,
+            log=log,
+        )
     rng = jax.random.PRNGKey(seed)
     epoch_losses = []
 
@@ -145,15 +157,89 @@ def train_fm_kernel(ds, factor=8, learning_rate=0.05, l2=0.0, epochs=5,
     }, epoch_losses
 
 
+def _train_fm_kernel_sharded(ds, mesh, factor, learning_rate, l2, epochs,
+                             batch_size, seed, exact, log):
+    """Streaming kernel FM over a (data, model) mesh: the master table is
+    row-sharded over `model` (pull/compute/push cycle of
+    parallel/sharded_kernel.py — the PS-replacement capability), and the
+    sorted position space shards over `data` when the data axis is >1.
+    Losses match the single-device streaming trajectory
+    (tests/test_sharded_kernel.py)."""
+    from ..parallel.sharded_kernel import (
+        make_dp_sharded_streaming_step,
+        make_sharded_streaming_step,
+        shard_plan,
+        shard_streaming_state,
+    )
+    from ..parallel.sharding import round_up_vocab
+
+    M = mesh.shape["model"]
+    Dd = mesh.shape["data"]
+    V = round_up_vocab(ds.n_features, max(1024, M))
+    batch_size = min(batch_size, len(ds))
+    capacity, b_pad = _streaming_dims(ds, batch_size, fine=True)
+    cfg = fm_kernel.KernelFMConfig(
+        n_features=V, factor=factor, learning_rate=learning_rate, l2=l2,
+        exact=exact, fine=True, interpret=_interpret(),
+    )
+    state = shard_streaming_state(
+        fm_kernel.streaming_init(jax.random.PRNGKey(seed), cfg), mesh
+    )
+    if Dd > 1:
+        step = make_dp_sharded_streaming_step(cfg, capacity, b_pad, mesh)
+        n_pad_multiple = Dd * TILE
+    else:
+        step = make_sharded_streaming_step(cfg, capacity, b_pad, mesh)
+        n_pad_multiple = None
+
+    np_rng = np.random.default_rng(seed)
+
+    def place(b):
+        arrays = fm_kernel.plan_batch_on_device(
+            jnp.asarray(b["ids"].astype(np.int32)), jnp.asarray(b["vals"]),
+            jnp.asarray(b["mask"]), jnp.asarray(b["labels"]),
+            jnp.asarray(b["row_mask"]), capacity=capacity, b_pad=b_pad,
+            n_pad_multiple=n_pad_multiple,
+        )
+        return shard_plan(arrays, mesh) if Dd > 1 else arrays
+
+    pf = Prefetcher(
+        lambda ep: sparse_batches(ds, batch_size, rng=np_rng), placer=place
+    )
+    epoch_losses = []
+    for epoch in range(epochs):
+        losses = []
+        for b in pf.epoch(epoch):
+            state, loss = step(state, b)
+            losses.append(loss)
+        epoch_losses.append(float(jnp.mean(jnp.stack(losses))))
+        if log:
+            log(f"epoch {epoch}: loss={epoch_losses[-1]:.5f}")
+    table = np.asarray(jax.device_get(state.table))
+    return {
+        "w0": jnp.asarray(float(state.w0)),
+        "w": jnp.asarray(table[:, 0]),
+        "v": jnp.asarray(table[:, 1 : 1 + factor]),
+    }, epoch_losses
+
+
 def train_nfm_kernel(ds, factor=8, hidden=(64,), learning_rate=0.05,
                      mlp_learning_rate=1e-3, l2=0.0, epochs=5,
                      batch_size=256, seed=0, exact=True, log=print,
-                     fine=True, xmat=True):
+                     fine=True, xmat=True, mesh=None):
     """-> (params dict {w0,w,v,mlp} for models/nfm, per-epoch losses).
 
     Full-batch (batch_size >= rows) runs the design-matrix step
     (xmat=True, see train_fm_kernel); minibatches stream through the
-    fine-window kernels."""
+    fine-window kernels. mesh: model-axis-sharded streaming trainer
+    (tables sharded, MLP tower replicated in lockstep)."""
+    if mesh is not None:
+        return _train_nfm_kernel_sharded(
+            ds, mesh, factor=factor, hidden=tuple(hidden),
+            learning_rate=learning_rate, mlp_learning_rate=mlp_learning_rate,
+            l2=l2, epochs=epochs, batch_size=batch_size, seed=seed,
+            exact=exact, log=log,
+        )
     full_batch = batch_size >= len(ds)
     cfg = nfm_kernel.KernelNFMConfig(
         n_features=ds.n_features, factor=factor, hidden=tuple(hidden),
@@ -205,13 +291,73 @@ def train_nfm_kernel(ds, factor=8, hidden=(64,), learning_rate=0.05,
     return nfm_kernel.export_streaming_params(state, cfg), epoch_losses
 
 
+def _train_nfm_kernel_sharded(ds, mesh, factor, hidden, learning_rate,
+                              mlp_learning_rate, l2, epochs, batch_size,
+                              seed, exact, log):
+    """Streaming kernel NFM over the `model` mesh axis: table pull/push
+    sharded, MLP tower replicated (deterministic lockstep Adam —
+    parallel/sharded_kernel.make_sharded_streaming_nfm_step)."""
+    from ..parallel.sharded_kernel import (
+        make_sharded_streaming_nfm_step,
+        shard_streaming_nfm_state,
+    )
+    from ..parallel.sharding import round_up_vocab
+
+    M = mesh.shape["model"]
+    if mesh.shape.get("data", 1) != 1:
+        raise ValueError("sharded kernel NFM supports a model-only mesh "
+                         "(use --mesh 1xM)")
+    V = round_up_vocab(ds.n_features, max(1024, M))
+    batch_size = min(batch_size, len(ds))
+    capacity, b_pad = _streaming_dims(ds, batch_size, fine=True)
+    cfg = nfm_kernel.KernelNFMConfig(
+        n_features=V, factor=factor, hidden=tuple(hidden),
+        learning_rate=learning_rate, mlp_learning_rate=mlp_learning_rate,
+        l2=l2, exact=exact, fine=True, interpret=_interpret(),
+    )
+    state = shard_streaming_nfm_state(
+        nfm_kernel.streaming_init(jax.random.PRNGKey(seed), cfg), mesh
+    )
+    step = make_sharded_streaming_nfm_step(cfg, capacity, b_pad, mesh)
+    np_rng = np.random.default_rng(seed)
+
+    def place(b):
+        return fm_kernel.plan_batch_on_device(
+            jnp.asarray(b["ids"].astype(np.int32)), jnp.asarray(b["vals"]),
+            jnp.asarray(b["mask"]), jnp.asarray(b["labels"]),
+            jnp.asarray(b["row_mask"]), capacity=capacity, b_pad=b_pad,
+        )
+
+    pf = Prefetcher(
+        lambda ep: sparse_batches(ds, batch_size, rng=np_rng), placer=place
+    )
+    epoch_losses = []
+    for epoch in range(epochs):
+        losses = []
+        for b in pf.epoch(epoch):
+            state, loss = step(state, b)
+            losses.append(loss)
+        epoch_losses.append(float(jnp.mean(jnp.stack(losses))))
+        if log:
+            log(f"epoch {epoch}: loss={epoch_losses[-1]:.5f}")
+    state = jax.device_get(state)
+    return nfm_kernel.export_streaming_params(state, cfg), epoch_losses
+
+
 def train_ffm_kernel(ds, factor=4, learning_rate=0.05, l2=0.0, epochs=5,
-                     seed=0, exact=False, agg=True, log=print):
+                     seed=0, exact=False, agg=True, log=print, mesh=None):
     """Full-batch kernel FFM -> (params dict {w0,w,v}, per-epoch losses).
 
     agg=True (default) runs the count-matrix engine — 3.3x the one-hot
     sweep on TPU (12.9 vs 43.1 ms/step, PARITY.md) and plain XLA, so CPU
-    runs don't pay interpret-mode Pallas; agg=False keeps the sweep."""
+    runs don't pay interpret-mode Pallas; agg=False keeps the sweep.
+    mesh: model-axis-sharded streaming trainer (the FFM master table is
+    (1+F*K)-wide per row — the largest per-chip memory win from shards)."""
+    if mesh is not None:
+        return _train_ffm_kernel_sharded(
+            ds, mesh, factor=factor, learning_rate=learning_rate, l2=l2,
+            epochs=epochs, seed=seed, exact=exact, agg=agg, log=log,
+        )
     cfg = ffm_kernel.KernelFFMConfig(
         n_features=ds.n_features, n_fields=ds.n_fields, factor=factor,
         learning_rate=learning_rate, l2=l2, exact=exact, agg=agg,
@@ -228,6 +374,47 @@ def train_ffm_kernel(ds, factor=4, learning_rate=0.05, l2=0.0, epochs=5,
         for epoch, l in enumerate(epoch_losses):
             log(f"epoch {epoch}: loss={l:.5f}")
     return ffm_kernel.export_params(state, plan, cfg), epoch_losses
+
+
+def _train_ffm_kernel_sharded(ds, mesh, factor, learning_rate, l2, epochs,
+                              seed, exact, agg, log):
+    """Model-axis-sharded streaming FFM fed the full batch each epoch
+    (the reference's full-batch regime on the sharded master — same
+    trajectory as the full-batch step on touched rows,
+    tests/test_ffm_streaming.py / test_sharded_kernel.py)."""
+    from ..parallel.sharded_kernel import (
+        make_sharded_streaming_ffm_step,
+        shard_streaming_ffm_state,
+    )
+    from ..parallel.sharding import round_up_vocab
+
+    M = mesh.shape["model"]
+    if mesh.shape.get("data", 1) != 1:
+        raise ValueError("sharded kernel FFM supports a model-only mesh "
+                         "(use --mesh 1xM)")
+    V = round_up_vocab(ds.n_features, max(1024, M))
+    cfg = ffm_kernel.KernelFFMConfig(
+        n_features=V, n_fields=ds.n_fields, factor=factor,
+        learning_rate=learning_rate, l2=l2, exact=exact, agg=agg,
+        interpret=_interpret(),
+    )
+    plan = ffm_kernel.plan_batch(
+        ds.ids.astype(np.int64), ds.vals, ds.mask, ds.fields, ds.labels
+    )
+    capacity = plan.n_rows_pad
+    state = shard_streaming_ffm_state(
+        ffm_kernel.streaming_init(jax.random.PRNGKey(seed), cfg), mesh
+    )
+    step = make_sharded_streaming_ffm_step(cfg, capacity, mesh)
+    arrays = ffm_kernel.plan_to_arrays(plan, capacity)
+    epoch_losses = []
+    for epoch in range(epochs):
+        state, loss = step(state, arrays)
+        epoch_losses.append(float(loss))
+        if log:
+            log(f"epoch {epoch}: loss={epoch_losses[-1]:.5f}")
+    state = jax.device_get(state)
+    return ffm_kernel.export_streaming_params(state, cfg), epoch_losses
 
 
 KERNEL_ENGINES = {

@@ -109,3 +109,36 @@ def test_cli_gbm_dense(tmp_path, capsys):
           "--n-classes", "2"])
     out = capsys.readouterr().out
     assert "final train accuracy" in out
+
+
+def test_cli_train_kernel_engine_mesh_fm(tiny_libffm, tmp_path, capsys):
+    """--engine kernel --mesh: the sharded streaming kernel trainers are
+    the CLI product path for pod-scale vocabularies (2-D data x model
+    mesh routes to make_dp_sharded_streaming_step)."""
+    ckpt = str(tmp_path / "m8")
+    main([
+        "train", "--model", "fm", "--factor", "4", "--train", tiny_libffm,
+        "--engine", "kernel", "--epochs", "4", "--lr", "0.2",
+        "--batch-size", "64", "--mesh", "2x4", "--ckpt", ckpt,
+    ])
+    out = capsys.readouterr().out
+    assert "train:" in out and "auc" in out
+    assert "saved checkpoint" in out
+
+    # mesh-trained kernel checkpoints reload from their own metadata
+    main([
+        "score", "--model", "fm", "--factor", "4", "--test", tiny_libffm,
+        "--ckpt", ckpt,
+    ])
+    out = capsys.readouterr().out
+    assert "auc" in out
+
+
+def test_cli_train_kernel_engine_mesh_ffm(tiny_libffm, capsys):
+    main([
+        "train", "--model", "ffm", "--factor", "2", "--train", tiny_libffm,
+        "--engine", "kernel", "--epochs", "4", "--lr", "0.2",
+        "--mesh", "1x8",
+    ])
+    out = capsys.readouterr().out
+    assert "train:" in out and "auc" in out
