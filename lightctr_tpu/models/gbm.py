@@ -95,6 +95,13 @@ def _histogram(node_of_row, bin_ids, g, h, n_nodes, n_bins):
     return hist.reshape(n_nodes, F, n_bins, 2)
 
 
+# NOTE (measured, don't redo): folding the row gathers (bin_d[sel] etc.)
+# into the jitted histogram DOUBLED wall time on the CPU backend (20.2 s
+# vs 10.5 s for the bench_gbm.py config) — as separate eager ops the
+# gather results are reused from the op cache while the scatter runs;
+# in-graph they serialize into one program per call.
+
+
 def _l1_thresh(g, alpha):
     return jnp.sign(g) * jnp.maximum(jnp.abs(g) - alpha, 0.0)
 
@@ -155,6 +162,14 @@ def _bucket(n: int) -> int:
     return 3 * p // 4 if n <= 3 * p // 4 else p
 
 
+def _slot_bucket(n: int) -> int:
+    """Node-slot axis bucket: exact powers of two, min 2. Histogram build
+    cost scales with the slot count ([slots, F, B, 2] zeros + absent-mass
+    passes), so unlike the row axis this must pad TIGHTLY (<= 2x) while
+    still bounding recompiles to one per octave."""
+    return 1 << max(1, (max(n, 1) - 1).bit_length())
+
+
 class _DenseSource:
     """Histogram/feature-bin provider over a dense [N, F] uint8 bin matrix."""
 
@@ -174,14 +189,19 @@ class _DenseSource:
         comp = lut[node_of_row]          # node -1 reads lut[-1] = trash
         sel = np.flatnonzero(comp != n_direct)
         npad = _bucket(len(sel))
+        # node-slot axis bucketed too: n_direct changes every level, and
+        # an unbucketed slot count would compile a fresh histogram program
+        # per level (the round-1 GBM spent ~half its wall time in XLA
+        # compiles because of this)
+        n_slots = _slot_bucket(n_direct + 1)
         sel_p = np.zeros(npad, np.int64)
         sel_p[: len(sel)] = sel
-        comp_p = np.full(npad, n_direct, np.int32)
+        comp_p = np.full(npad, n_slots - 1, np.int32)
         comp_p[: len(sel)] = comp[sel]
         sel_d = jnp.asarray(sel_p)
         out = _histogram(
             jnp.asarray(comp_p), self.bin_d[sel_d], self.g_d[sel_d],
-            self.h_d[sel_d], n_direct + 1, self.n_bins,
+            self.h_d[sel_d], n_slots, self.n_bins,
         )
         return np.asarray(out)[:n_direct]
 
@@ -243,6 +263,9 @@ class _SparseSource:
             return out
 
         rows_sel = self.row_of_entry[sel]
+        # bucket the slot axis like _DenseSource.hist (trash rows carry
+        # comp == n_direct < n_slots, sliced away below)
+        n_slots = _slot_bucket(n_direct + 1)
         out = _sparse_hist_compact(
             jnp.asarray(pad(comp_e, n_direct, np.int32)),
             jnp.asarray(pad(self.col, 0, np.int32)),
@@ -250,7 +273,7 @@ class _SparseSource:
             jnp.asarray(np.pad(self.g_np[rows_sel], (0, npad - len(sel)))),
             jnp.asarray(np.pad(self.h_np[rows_sel], (0, npad - len(sel)))),
             jnp.asarray(comp), self.gh_d,
-            n_direct + 1, self.n_feats, self.n_bins,
+            n_slots, self.n_feats, self.n_bins,
         )
         return np.asarray(out)[:n_direct]
 
@@ -307,10 +330,15 @@ def _node_totals(hists: np.ndarray):
 
 
 def _masked_best_splits(hists: np.ndarray, feat_mask, cfg: GBMConfig):
-    hm = hists.copy()
+    M = hists.shape[0]
+    # pad the node axis to the bucketed family so _best_splits compiles
+    # O(log N) programs instead of one per distinct active-node count
+    Mp = _slot_bucket(M)
+    hm = np.zeros((Mp,) + hists.shape[1:], hists.dtype)
+    hm[:M] = hists
     hm[:, ~feat_mask] = 0.0
     return tuple(
-        np.asarray(t)
+        np.asarray(t)[:M]
         for t in _best_splits(
             jnp.asarray(hm), cfg.reg_lambda, cfg.reg_alpha, cfg.gamma,
             cfg.min_child_hess,
