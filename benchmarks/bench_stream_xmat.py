@@ -79,6 +79,23 @@ def main():
     float(loss)
     dt = (time.perf_counter() - t0) / n
     out["stream_xmat_plan_plus_step_ms"] = round(dt * 1e3, 3)
+    print(json.dumps(out), flush=True)
+
+    # fused ONE-dispatch step (plan traced into the packed step) on raw
+    # [B, L] device batches
+    cfg = fm_kernel.KernelFMConfig(n_features=vocab, factor=8,
+                                   learning_rate=0.05, exact=True, fine=True)
+    state = fm_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg)
+    fstep = fm_kernel.make_streaming_train_step_fused(cfg, capacity, b_pad)
+    state, loss = fstep(state, ids, vals, mask, labels, rmask)
+    float(loss)
+    t0 = time.perf_counter()
+    for bi_ids in batches:
+        state, loss = fstep(state, bi_ids, vals, mask, labels, rmask)
+    float(loss)
+    dt = (time.perf_counter() - t0) / len(batches)
+    out["stream_fused_ms"] = round(dt * 1e3, 3)
+    out["stream_fused_examples_per_sec"] = round(B / dt, 1)
     print("FINAL " + json.dumps(out))
 
 

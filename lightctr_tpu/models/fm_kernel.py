@@ -767,8 +767,33 @@ def make_streaming_train_step_packed(cfg: KernelFMConfig, capacity: int,
     return step
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("capacity", "b_pad", "n_pad_multiple"))
+def make_streaming_train_step_fused(cfg: KernelFMConfig, capacity: int,
+                                    b_pad: int):
+    """ONE-dispatch streaming step on RAW [B, L] batches: the device
+    batch planner is traced INTO the packed train step, so a deployment
+    minibatch costs a single program dispatch (transfer + plan + step).
+    Over this tunneled backend each dispatch is ~0.4 ms, so collapsing
+    the separate plan and step dispatches matters exactly in the
+    small-batch serving/training regime the streaming engine targets
+    (PARITY.md: 10.1 ms plan+step at B=256 -> fused measurement there).
+    Numerics identical to plan_batch_on_device + the packed step
+    (tests/test_fm_streaming.py)."""
+    inner = make_streaming_train_step_packed(cfg, capacity, b_pad)
+    # trace through the jitted wrappers (their donation marks don't apply
+    # inside an outer jit); donation lives on THIS boundary instead
+    inner_raw = inner.__wrapped__
+    plan_raw = plan_batch_on_device.__wrapped__
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: StreamingFMStatePacked, ids, vals, mask, labels,
+             row_mask, hyper=None):
+        b = plan_raw(ids, vals, mask, labels, row_mask,
+                     capacity=capacity, b_pad=b_pad, n_pad_multiple=None)
+        return inner_raw(state, b, hyper)
+
+    return step
+
+
 @functools.partial(
     jax.jit, static_argnames=("capacity", "b_pad", "n_pad_multiple")
 )

@@ -196,3 +196,45 @@ def test_packed_streaming_matches_unpacked(sparse_small):
                                np.asarray(state_u.table), rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(np.asarray(back.accum),
                                np.asarray(state_u.accum), rtol=1e-6, atol=1e-8)
+
+
+def test_fused_streaming_matches_plan_plus_step(sparse_small):
+    """make_streaming_train_step_fused (plan traced INTO the packed step:
+    one dispatch per raw [B, L] batch) must reproduce the separate
+    plan_batch_on_device + packed-step trajectory exactly."""
+    ds = sparse_small
+    B, capacity, b_pad = 128, 4 * TILE, 128
+    cfg = fm_kernel.KernelFMConfig(
+        n_features=1024, factor=4, learning_rate=0.25, l2=1e-4,
+        interpret=True, exact=True,
+    )
+    state_p = fm_kernel.pack_streaming_state(
+        fm_kernel.streaming_init(jax.random.PRNGKey(0), cfg)
+    )
+    state_f = fm_kernel.pack_streaming_state(
+        fm_kernel.streaming_init(jax.random.PRNGKey(0), cfg)
+    )
+    step_p = fm_kernel.make_streaming_train_step_packed(cfg, capacity, b_pad)
+    step_f = fm_kernel.make_streaming_train_step_fused(cfg, capacity, b_pad)
+
+    losses_p, losses_f = [], []
+    for epoch in range(3):
+        for b in sparse_batches(ds, B):
+            ids = jnp.asarray(b["ids"], jnp.int32)
+            vals = jnp.asarray(b["vals"])
+            mask = jnp.asarray(b["mask"])
+            labels = jnp.asarray(b["labels"])
+            rmask = jnp.asarray(b["row_mask"])
+            arrays = fm_kernel.plan_batch_on_device(
+                ids, vals, mask, labels, rmask,
+                capacity=capacity, b_pad=b_pad,
+            )
+            state_p, lp = step_p(state_p, arrays)
+            state_f, lf = step_f(state_f, ids, vals, mask, labels, rmask)
+            losses_p.append(float(lp))
+            losses_f.append(float(lf))
+
+    np.testing.assert_allclose(losses_f, losses_p, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(state_f.packed),
+                               np.asarray(state_p.packed),
+                               rtol=1e-6, atol=1e-8)
