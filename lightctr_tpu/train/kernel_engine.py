@@ -122,21 +122,20 @@ def train_fm_kernel(ds, factor=8, learning_rate=0.05, l2=0.0, epochs=5,
         return {"w0": jnp.asarray(w0), "w": jnp.asarray(w),
                 "v": jnp.asarray(v)}, epoch_losses
 
-    # packed [V, 32] master layout: one row-gather + one row-scatter per
-    # step (same trajectory as unpacked — tests/test_fm_streaming.py;
-    # measured +52% at 10M vocab, PARITY.md)
+    # packed [V, 32] master layout (one row-gather + one row-scatter per
+    # step; +52% at 10M vocab) with the FUSED one-dispatch step: device
+    # planning traced INTO the train step, so each raw [B, L] batch costs
+    # a single program dispatch — 4.2 ms vs 7.5 ms for separate
+    # plan + step at B=256 (PARITY.md). The Prefetcher thread now only
+    # stages host->device transfers.
     state = fm_kernel.streaming_init_packed(rng, cfg)
-    step = fm_kernel.make_streaming_train_step_packed(cfg, capacity, b_pad)
+    step = fm_kernel.make_streaming_train_step_fused(cfg, capacity, b_pad)
     np_rng = np.random.default_rng(seed)
 
     def place(b):
-        # device-side planning, dispatched from the Prefetcher thread so
-        # it overlaps with the previous step's compute
-        return fm_kernel.plan_batch_on_device(
-            jnp.asarray(b["ids"].astype(np.int32)), jnp.asarray(b["vals"]),
-            jnp.asarray(b["mask"]), jnp.asarray(b["labels"]),
-            jnp.asarray(b["row_mask"]), capacity=capacity, b_pad=b_pad,
-        )
+        return tuple(jnp.asarray(b[k].astype(np.int32)) if k == "ids"
+                     else jnp.asarray(b[k])
+                     for k in ("ids", "vals", "mask", "labels", "row_mask"))
 
     pf = Prefetcher(
         lambda ep: sparse_batches(ds, batch_size, rng=np_rng), placer=place
@@ -144,7 +143,7 @@ def train_fm_kernel(ds, factor=8, learning_rate=0.05, l2=0.0, epochs=5,
     for epoch in range(epochs):
         losses = []
         for b in pf.epoch(epoch):
-            state, loss = step(state, b)
+            state, loss = step(state, *b)
             losses.append(loss)
         epoch_losses.append(float(jnp.mean(jnp.stack(losses))))
         if log:
