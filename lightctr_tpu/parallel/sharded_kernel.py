@@ -35,7 +35,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.fm_kernel import (
     KernelFMConfig,
+    KernelFMState,
     StreamingFMState,
+    _ftrl_wide,
+    count_matrices,
     kernel_backward,
     kernel_forward,
 )
@@ -579,4 +582,108 @@ def make_sharded_streaming_ffm_step(cfg, capacity: int, mesh: Mesh):
 
         return StreamingFFMState(w0, w0_accum, table, accum), loss
 
+    return step
+
+
+def make_xmat_sharded_train_step(cfg: KernelFMConfig, plan, mesh: Mesh):
+    """Data-sharded twin of the full-batch design-matrix (xmat) FM step —
+    the headline 0.14 ms step scaled over the `data` mesh axis (the
+    reference's Ring-AllReduce regime, ring_collect.h:48-72, on its
+    full-batch trainer train_fm_algo.cpp:38).
+
+    The plan-constant count matrices Crow/Crow2 [b_pad, R] are row-sharded
+    over `data` (each shard owns a contiguous slice of the batch); the
+    rank-space state [R, D] replicates (R is per-batch-small — that is
+    what makes xmat viable at all). Per step each shard runs the dense
+    [b_local, R] x [R, D] matmuls on its slice and ONE rank-space psum of
+    (loss, grad_rows, g0) makes the Adagrad update bit-identical on every
+    shard. Losses equal the single-device xmat step to fp32 tolerance
+    (tests/test_sharded_kernel.py).
+
+    Returns a step carrying `_stepfn`/`_consts` so fm_kernel.make_multi_step
+    threads the sharded count matrices through the jit boundary as runtime
+    arguments (not HLO literals)."""
+    n_k = cfg.factor
+    R = plan.n_rows_pad
+    b_pad = plan.b_pad
+    B = plan.labels.shape[0]
+    Dd = mesh.shape["data"]
+    assert b_pad % Dd == 0, (b_pad, Dd)
+    cdt = jnp.float32 if cfg.exact else jnp.bfloat16
+    labels_p = jnp.zeros((b_pad,)).at[:B].set(plan.labels)
+    rmask_p = jnp.zeros((b_pad,)).at[:B].set(plan.row_mask)
+    n_valid = plan.n_valid_rows
+
+    Crow32, Crow2_32 = count_matrices(plan)
+    data_sh = NamedSharding(mesh, P("data", None))
+    vec_sh = NamedSharding(mesh, P("data"))
+    consts = (
+        jax.device_put(Crow32.astype(cdt), data_sh),
+        jax.device_put(Crow2_32.astype(cdt), data_sh),
+        jax.device_put(jnp.asarray(labels_p), vec_sh),
+        jax.device_put(jnp.asarray(rmask_p), vec_sh),
+    )
+
+    def local_step(rows, w0, w0_accum, accum, ftrl_z, ftrl_n,
+                   Crow, Crow2, lab, rm, hyper):
+        lr = cfg.learning_rate if hyper is None else hyper[0]
+        l2 = cfg.l2 if hyper is None else hyper[1]
+
+        def loss_fn(rows, w0):
+            V = rows[:, 1 : 1 + n_k]
+            s_aug = jnp.einsum("br,rk->bk", Crow,
+                               rows[:, : 1 + n_k].astype(cdt),
+                               preferred_element_type=jnp.float32)
+            wx, s = s_aug[:, 0], s_aug[:, 1:]
+            ss = jnp.einsum("br,rk->bk", Crow2, (V * V).astype(cdt),
+                            preferred_element_type=jnp.float32)
+            z = w0 + wx + 0.5 * jnp.sum(s * s - ss, axis=-1)
+            per = jnp.maximum(z, 0) - z * lab + jnp.log1p(jnp.exp(-jnp.abs(z)))
+            return jnp.sum(per * rm) / n_valid     # local slice's share
+
+        loss, (grad_rows, g0) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            rows, w0
+        )
+        # ONE rank-space psum glues the batch slices back together
+        loss, grad_rows, g0 = jax.lax.psum((loss, grad_rows, g0), "data")
+
+        grad_rows = grad_rows + l2 * rows
+        accum = accum + grad_rows * grad_rows
+        new_rows = rows - lr * grad_rows / (jnp.sqrt(accum) + 1e-7)
+        if cfg.wide_optimizer == "ftrl":
+            state_like = KernelFMState(w0, w0_accum, rows, accum,
+                                       ftrl_z, ftrl_n)
+            new_rows, ftrl_z, ftrl_n = _ftrl_wide(cfg, state_like, new_rows,
+                                                  grad_rows)
+        new_rows = new_rows.at[R - 1].set(0.0)
+        w0_accum = w0_accum + g0 * g0
+        w0 = w0 - lr * g0 / (jnp.sqrt(w0_accum) + 1e-7)
+        return new_rows, w0, w0_accum, accum, ftrl_z, ftrl_n, loss
+
+    rep = P()
+    mapped = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, rep, rep, rep,
+                  P("data", None), P("data", None), P("data"), P("data"),
+                  rep),
+        out_specs=(rep, rep, rep, rep, rep, rep, rep),
+        check_rep=False,
+    )
+
+    def raw_step(state: KernelFMState, hyper, consts):
+        Crow, Crow2, lab, rm = consts
+        rows, w0, w0_accum, accum, ftrl_z, ftrl_n, loss = mapped(
+            state.rows, state.w0, state.w0_accum, state.accum,
+            state.ftrl_z, state.ftrl_n, Crow, Crow2, lab, rm, hyper,
+        )
+        return KernelFMState(w0, w0_accum, rows, accum, ftrl_z, ftrl_n), loss
+
+    jitted = jax.jit(raw_step)
+
+    def step(state: KernelFMState, hyper=None):
+        return jitted(state, hyper, consts)
+
+    step._stepfn = raw_step
+    step._consts = consts
     return step

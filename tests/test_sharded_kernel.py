@@ -269,3 +269,47 @@ def test_sharded_streaming_ffm_matches_single_device():
         t1 = np.asarray(state_1.table)
         t8 = np.asarray(jax.device_get(state_8.table))
         np.testing.assert_allclose(t8, t1, rtol=1e-4, atol=1e-6)
+
+
+def test_xmat_sharded_matches_single_device(sparse_small):
+    """Data-sharded full-batch xmat step == single-device xmat step (the
+    headline full-batch trainer scaled over `data` — the reference's
+    Ring-AllReduce regime on its full-batch FM). Also exercises the
+    make_multi_step consts threading for the sharded step."""
+    from lightctr_tpu.parallel.sharded_kernel import (
+        make_xmat_sharded_train_step,
+    )
+
+    ds = sparse_small
+    cfg = fm_kernel.KernelFMConfig(
+        n_features=ds.n_features, factor=4, learning_rate=0.25, l2=1e-4,
+        interpret=True, exact=True, xmat=True,
+    )
+    plan = fm_kernel.plan_batch(
+        ds.ids.astype(np.int64), ds.vals, ds.mask, ds.labels
+    )
+    mesh = make_mesh(data=8, model=1)
+
+    state_1 = fm_kernel.init(jax.random.PRNGKey(0), cfg, plan)
+    state_8 = fm_kernel.init(jax.random.PRNGKey(0), cfg, plan)
+    step_1 = fm_kernel.make_train_step(cfg, plan)
+    step_8 = make_xmat_sharded_train_step(cfg, plan, mesh)
+
+    losses_1, losses_8 = [], []
+    for _ in range(5):
+        state_1, l1 = step_1(state_1)
+        state_8, l8 = step_8(state_8)
+        losses_1.append(float(l1))
+        losses_8.append(float(l8))
+    np.testing.assert_allclose(losses_8, losses_1, rtol=1e-5)
+    # rows: psum reduces in a different order than the single-device sum;
+    # Adagrad's 1/sqrt(accum) amplifies the ulp differences over 5 steps
+    np.testing.assert_allclose(np.asarray(jax.device_get(state_8.rows)),
+                               np.asarray(state_1.rows),
+                               rtol=1e-3, atol=1e-5)
+
+    # scan wrapper threads the sharded count matrices as runtime args
+    run = fm_kernel.make_multi_step(step_8, 3)
+    state_8b = fm_kernel.init(jax.random.PRNGKey(0), cfg, plan)
+    _, losses = run(state_8b)
+    np.testing.assert_allclose(np.asarray(losses), losses_8[:3], rtol=1e-5)
