@@ -318,6 +318,30 @@ def make_streaming_train_step(cfg: KernelNFMConfig, capacity: int, b_pad: int):
     return step
 
 
+def make_streaming_train_step_fused(cfg: KernelNFMConfig, capacity: int,
+                                    b_pad: int):
+    """ONE-dispatch streaming NFM step on raw [B, L] batches: the device
+    batch planner (fm_kernel.plan_batch_on_device) is traced INTO the
+    streaming step — transfer + plan + train per single program dispatch
+    (the FM twin measured 4.19 vs 7.5 ms at B=256, PARITY.md). Numerics
+    identical to plan + make_streaming_train_step
+    (tests/test_nfm_kernel.py)."""
+    from .fm_kernel import plan_batch_on_device
+
+    inner = make_streaming_train_step(cfg, capacity, b_pad)
+    inner_raw = inner.__wrapped__
+    plan_raw = plan_batch_on_device.__wrapped__
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: StreamingNFMState, ids, vals, mask, labels, row_mask,
+             hyper=None):
+        b = plan_raw(ids, vals, mask, labels, row_mask,
+                     capacity=capacity, b_pad=b_pad, n_pad_multiple=None)
+        return inner_raw(state, b, hyper)
+
+    return step
+
+
 def export_streaming_params(state: StreamingNFMState, cfg: KernelNFMConfig):
     """-> params dict usable with models/nfm.forward (vocab space)."""
     table = np.asarray(state.table)

@@ -265,15 +265,15 @@ def train_nfm_kernel(ds, factor=8, hidden=(64,), learning_rate=0.05,
     batch_size = min(batch_size, len(ds))
     capacity, b_pad = _streaming_dims(ds, batch_size, fine=fine)
     state = nfm_kernel.streaming_init(rng, cfg)
-    step = nfm_kernel.make_streaming_train_step(cfg, capacity, b_pad)
+    # fused ONE-dispatch step: planning traced into the train step (see
+    # train_fm_kernel); the Prefetcher stages transfers only
+    step = nfm_kernel.make_streaming_train_step_fused(cfg, capacity, b_pad)
     np_rng = np.random.default_rng(seed)
 
     def place(b):
-        return fm_kernel.plan_batch_on_device(
-            jnp.asarray(b["ids"].astype(np.int32)), jnp.asarray(b["vals"]),
-            jnp.asarray(b["mask"]), jnp.asarray(b["labels"]),
-            jnp.asarray(b["row_mask"]), capacity=capacity, b_pad=b_pad,
-        )
+        return tuple(jnp.asarray(b[k].astype(np.int32)) if k == "ids"
+                     else jnp.asarray(b[k])
+                     for k in ("ids", "vals", "mask", "labels", "row_mask"))
 
     pf = Prefetcher(
         lambda ep: sparse_batches(ds, batch_size, rng=np_rng), placer=place
@@ -282,7 +282,7 @@ def train_nfm_kernel(ds, factor=8, hidden=(64,), learning_rate=0.05,
     for epoch in range(epochs):
         losses = []
         for b in pf.epoch(epoch):
-            state, loss = step(state, b)
+            state, loss = step(state, *b)
             losses.append(loss)
         epoch_losses.append(float(jnp.mean(jnp.stack(losses))))
         if log:

@@ -130,3 +130,36 @@ def test_streaming_nfm_fine_matches_coarse():
             traj.append(float(loss))
         trajs[fine] = traj
     np.testing.assert_allclose(trajs[True], trajs[False], rtol=1e-5)
+
+
+def test_streaming_nfm_fused_matches_separate():
+    """make_streaming_train_step_fused (NFM: plan traced into the step,
+    one dispatch per raw batch) == plan_batch_on_device + streaming step."""
+    V = 900
+    raw = [_toy(seed=s, V=V) for s in range(3)]
+    cfg = nfm_kernel.KernelNFMConfig(
+        n_features=V, factor=4, hidden=(8,), learning_rate=0.1,
+        interpret=True, exact=True, fine=True,
+    )
+    state_s = nfm_kernel.streaming_init(jax.random.PRNGKey(0), cfg)
+    state_f = nfm_kernel.streaming_init(jax.random.PRNGKey(0), cfg)
+    step_s = nfm_kernel.make_streaming_train_step(cfg, CAPACITY, 128)
+    step_f = nfm_kernel.make_streaming_train_step_fused(cfg, CAPACITY, 128)
+
+    losses_s, losses_f = [], []
+    for ids, vals, mask, labels in raw:
+        ids = jnp.asarray(ids)
+        vals = jnp.asarray(vals)
+        mask = jnp.asarray(mask)
+        labels = jnp.asarray(labels)
+        rmask = jnp.ones((ids.shape[0],), jnp.float32)
+        arrays = fm_kernel.plan_batch_on_device(
+            ids, vals, mask, labels, rmask, capacity=CAPACITY, b_pad=128)
+        state_s, ls = step_s(state_s, arrays)
+        state_f, lf = step_f(state_f, ids, vals, mask, labels, rmask)
+        losses_s.append(float(ls))
+        losses_f.append(float(lf))
+    np.testing.assert_allclose(losses_f, losses_s, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(state_f.table),
+                               np.asarray(state_s.table),
+                               rtol=1e-6, atol=1e-8)
