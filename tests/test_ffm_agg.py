@@ -120,3 +120,59 @@ def test_multi_step_threads_consts():
     np.testing.assert_allclose(np.asarray(losses), want, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(s2.table), np.asarray(s.table),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_agg_ambiguous_field_fallback():
+    """A feature id occurring under TWO different fields disables the
+    rank-field self-term (plan.rank_field None) and falls back to the
+    per-position path — trajectories must still match the sweep."""
+    ids, vals, mask, fields, labels = _toy_batch(seed=7)
+    fields = fields.copy()
+    # force uid ids[0,0] to appear under two distinct fields
+    ids[0, 1] = ids[0, 0]
+    mask[0, :2] = 1.0
+    fields[0, 0], fields[0, 1] = 0, 1
+    V, F, Kf = 300, 6, 4
+    plan = ffm_kernel.plan_batch(ids, vals, mask, fields, labels)
+    assert plan.rank_field is None
+
+    trajs = {}
+    for agg in (False, True):
+        cfg = ffm_kernel.KernelFFMConfig(
+            n_features=V, n_fields=F, factor=Kf, learning_rate=0.1,
+            l2=1e-4, interpret=True, exact=True, agg=agg,
+        )
+        st = ffm_kernel.init(jax.random.PRNGKey(0), cfg, plan)
+        step = ffm_kernel.make_train_step(cfg, plan)
+        traj = []
+        for _ in range(4):
+            st, loss = step(st)
+            traj.append(float(loss))
+        trajs[agg] = traj
+    np.testing.assert_allclose(trajs[True], trajs[False], rtol=2e-5)
+
+
+def test_agg_rank_field_matches_sweep_on_partitioned_fields():
+    """Standard libffm structure (each feature id belongs to exactly one
+    field): plan.rank_field is defined and the rank-granular self-term
+    (_logits_from_counts_rf) must reproduce the sweep trajectory."""
+    ids, vals, mask, _, labels = _toy_batch(seed=8)
+    V, F, Kf = 300, 6, 4
+    fields = (ids % F).astype(np.int32)   # ids partition into fields
+    plan = ffm_kernel.plan_batch(ids, vals, mask, fields, labels)
+    assert plan.rank_field is not None
+
+    trajs = {}
+    for agg in (False, True):
+        cfg = ffm_kernel.KernelFFMConfig(
+            n_features=V, n_fields=F, factor=Kf, learning_rate=0.1,
+            l2=1e-4, interpret=True, exact=True, agg=agg,
+        )
+        st = ffm_kernel.init(jax.random.PRNGKey(0), cfg, plan)
+        step = ffm_kernel.make_train_step(cfg, plan)
+        traj = []
+        for _ in range(5):
+            st, loss = step(st)
+            traj.append(float(loss))
+        trajs[agg] = traj
+    np.testing.assert_allclose(trajs[True], trajs[False], rtol=2e-5)
