@@ -248,10 +248,14 @@ def _logits_from_counts_rf(table, w0, C, Crow2, rank_field,
     """Count-matrix FFM forward with the RANK-FIELD self-term: when each
     feature id belongs to exactly one field (standard libffm data), the
     per-position self-term Σ x²·‖V[rank, field]‖² collapses to
-    Crow2 @ d2r with d2r[r] = ‖V[r, rank_field[r]]‖² — an R-sized gather
-    and a [B, R] matvec instead of a 384k-position gather + backward
-    scatter (measured 6.5 ms of the 12.9 ms step,
-    benchmarks/bench_ffm_ablate.py)."""
+    Crow2 @ d2r with d2r[r] = ‖V[r, rank_field[r]]‖² — a one-hot row
+    select and a [B, R] matvec instead of a 384k-position gather +
+    backward scatter (the old self-term was 6.46 ms of the 12.85 ms
+    step, benchmarks/bench_ffm_ablate.py). d2r comes from an elementwise
+    one-hot multiply, NOT V[arange, rank_field]: the gather's backward
+    scatter costs 0.7 ms that the all-elementwise form doesn't
+    (rf 7.99 vs onehot 7.30 ms, benchmarks/bench_ffm_self_variants.py;
+    the matmul-fold variant measured 8.86 — rejected)."""
     F, Kf, Dw = cfg.n_fields, cfg.factor, cfg.row_width
     cdt = jnp.float32 if cfg.exact else jnp.bfloat16
     B = Crow2.shape[0]
@@ -264,8 +268,9 @@ def _logits_from_counts_rf(table, w0, C, Crow2, rank_field,
     total = jnp.einsum("bfgk,bgfk->b", Pc, Pc,
                        preferred_element_type=jnp.float32)
     V = table[:, 1 : 1 + F * Kf].reshape(-1, F, Kf)
-    v_own = V[jnp.arange(V.shape[0]), rank_field]         # [R, Kf]
-    d2r = jnp.sum(v_own * v_own, axis=-1)                 # [R]
+    D2 = jnp.sum(V * V, axis=-1)                          # [R, F]
+    onehot_rf = jax.nn.one_hot(rank_field, F, dtype=D2.dtype)
+    d2r = jnp.sum(D2 * onehot_rf, axis=1)                 # [R]
     self_t = jnp.einsum("br,r->b", Crow2, d2r.astype(cdt),
                         preferred_element_type=jnp.float32)
     return w0 + wx + 0.5 * (total - self_t)
@@ -392,11 +397,18 @@ def plan_to_arrays(plan: FFMBatchPlan, capacity: int) -> dict:
     }
 
 
-def make_streaming_train_step(cfg: KernelFFMConfig, capacity: int):
+def make_streaming_train_step(cfg: KernelFFMConfig, capacity: int,
+                              fields_partition: bool = False):
     """Minibatch-streaming kernel FFM: one compiled program serves every
     batch. pull (gather unique vocab rows into rank space) -> the same
     field-aggregation forward/backward as make_train_step -> row-sparse
     Adagrad push (server-side-update analogue, state co-located).
+
+    fields_partition=True (caller-asserted dataset property: every feature
+    id belongs to exactly one field, i.e. plan_batch yields rank_field on
+    every batch) switches the agg engine to the rank-field self-term
+    (_logits_from_counts_rf) with the rank->field map built in-graph —
+    same 12.9 -> 8.2 ms win as the full-batch step (PARITY.md).
 
     Loss trajectories equal make_train_step's on the touched rows
     (tests/test_ffm_streaming.py); untouched rows differ only in that the
@@ -419,13 +431,31 @@ def make_streaming_train_step(cfg: KernelFFMConfig, capacity: int):
             cdt = jnp.float32 if cfg.exact else jnp.bfloat16
             C = count_matrix(b["ranks"], b["fields"], b["xv"], R,
                              cfg.n_fields, cdt)
+            if fields_partition:
+                # rank->field map built in-graph: valid positions agree by
+                # the caller-asserted dataset property; invalid positions
+                # only touch the zeroed padding rank row, and unused rank
+                # slots have all-zero Crow2 columns, so neither leaks into
+                # the logits or the gradient.
+                Bb, Lb = b["xv"].shape
+                rf = (jnp.zeros((R,), jnp.int32)
+                      .at[b["ranks"][: Bb * Lb]]
+                      .set(b["fields"].reshape(-1)))
+                Crow2 = count_matrix_rows(b["ranks"], b["xv"] * b["xv"],
+                                          R, cdt)
 
-            def loss_fn(rows, w0):
-                z = _logits_from_counts(rows, w0, C, b["ranks"],
-                                        b["fields"], b["xv"], cfg)
-                per = (jnp.maximum(z, 0) - z * b["labels"]
-                       + jnp.log1p(jnp.exp(-jnp.abs(z))))
-                return jnp.sum(per * b["row_mask"]) / n_valid
+                def loss_fn(rows, w0):
+                    z = _logits_from_counts_rf(rows, w0, C, Crow2, rf, cfg)
+                    per = (jnp.maximum(z, 0) - z * b["labels"]
+                           + jnp.log1p(jnp.exp(-jnp.abs(z))))
+                    return jnp.sum(per * b["row_mask"]) / n_valid
+            else:
+                def loss_fn(rows, w0):
+                    z = _logits_from_counts(rows, w0, C, b["ranks"],
+                                            b["fields"], b["xv"], cfg)
+                    per = (jnp.maximum(z, 0) - z * b["labels"]
+                           + jnp.log1p(jnp.exp(-jnp.abs(z))))
+                    return jnp.sum(per * b["row_mask"]) / n_valid
         else:
             onehot_f = jax.nn.one_hot(b["fields"], cfg.n_fields)
             weighted = onehot_f * b["xv"][..., None]

@@ -473,18 +473,23 @@ def shard_streaming_ffm_state(state, mesh: Mesh):
     )
 
 
-def make_sharded_streaming_ffm_step(cfg, capacity: int, mesh: Mesh):
+def make_sharded_streaming_ffm_step(cfg, capacity: int, mesh: Mesh,
+                                    fields_partition: bool = False):
     """Sharded twin of ffm_kernel.make_streaming_train_step: the same
     owned-rows pull/psum -> replicated field-aggregation kernels (autodiff
     supplies the backward through the Pallas rank_lookup) -> owned-row
     server-side Adagrad push. Batch dict from ffm_kernel.plan_to_arrays.
+    fields_partition: see ffm_kernel.make_streaming_train_step (rank-field
+    self-term for datasets whose feature ids partition into fields).
     Capability: the reference FFM under its PS cluster
     (train_ffm_algo.cpp:51-116 + paramserver.h:122-300)."""
     from ..models.ffm_kernel import (
         StreamingFFMState,
         _logits_from_counts,
+        _logits_from_counts_rf,
         _logits_from_rank_rows,
         count_matrix,
+        count_matrix_rows,
     )
 
     R = capacity
@@ -518,13 +523,28 @@ def make_sharded_streaming_ffm_step(cfg, capacity: int, mesh: Mesh):
             cdt = jnp.float32 if cfg.exact else jnp.bfloat16
             C = count_matrix(b["ranks"], b["fields"], b["xv"], R,
                              cfg.n_fields, cdt)
+            if fields_partition:
+                # in-graph rank->field map; see the single-device
+                # streaming step for why padding/unused slots are inert
+                Bb, Lb = b["xv"].shape
+                rf = (jnp.zeros((R,), jnp.int32)
+                      .at[b["ranks"][: Bb * Lb]]
+                      .set(b["fields"].reshape(-1)))
+                Crow2 = count_matrix_rows(b["ranks"], b["xv"] * b["xv"],
+                                          R, cdt)
 
-            def loss_fn(rows, w0):
-                z = _logits_from_counts(rows, w0, C, b["ranks"],
-                                        b["fields"], b["xv"], cfg)
-                per = (jnp.maximum(z, 0) - z * b["labels"]
-                       + jnp.log1p(jnp.exp(-jnp.abs(z))))
-                return jnp.sum(per * b["row_mask"]) / n_valid
+                def loss_fn(rows, w0):
+                    z = _logits_from_counts_rf(rows, w0, C, Crow2, rf, cfg)
+                    per = (jnp.maximum(z, 0) - z * b["labels"]
+                           + jnp.log1p(jnp.exp(-jnp.abs(z))))
+                    return jnp.sum(per * b["row_mask"]) / n_valid
+            else:
+                def loss_fn(rows, w0):
+                    z = _logits_from_counts(rows, w0, C, b["ranks"],
+                                            b["fields"], b["xv"], cfg)
+                    per = (jnp.maximum(z, 0) - z * b["labels"]
+                           + jnp.log1p(jnp.exp(-jnp.abs(z))))
+                    return jnp.sum(per * b["row_mask"]) / n_valid
         else:
             onehot_f = jax.nn.one_hot(b["fields"], cfg.n_fields)
             weighted = onehot_f * b["xv"][..., None]

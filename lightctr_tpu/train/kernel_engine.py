@@ -11,9 +11,9 @@ Engines:
         batch_size >= dataset rows (the reference FM regime,
         train_fm_algo.cpp:38).
   nfm — same streaming cycle plus the XLA MLP tower.
-  ffm — full-batch on the count-matrix (agg) engine by default: 12.9 ms
+  ffm — full-batch on the count-matrix (agg) engine by default: 6.45 ms
         vs the dense-sweep kernels' 43.1 ms on the bundled data (PARITY.md,
-        50x the reference FFM), and pure XLA so the CPU/interpret path is
+        100x the reference FFM), and pure XLA so the CPU/interpret path is
         usable too.
 
 Each returns a params dict in the corresponding dense model's format, so
@@ -344,12 +344,15 @@ def _train_nfm_kernel_sharded(ds, mesh, factor, hidden, learning_rate,
 
 
 def train_ffm_kernel(ds, factor=4, learning_rate=0.05, l2=0.0, epochs=5,
-                     seed=0, exact=False, agg=True, log=print, mesh=None):
+                     seed=0, exact=True, agg=True, log=print, mesh=None):
     """Full-batch kernel FFM -> (params dict {w0,w,v}, per-epoch losses).
 
-    agg=True (default) runs the count-matrix engine — 3.3x the one-hot
-    sweep on TPU (12.9 vs 43.1 ms/step, PARITY.md) and plain XLA, so CPU
-    runs don't pay interpret-mode Pallas; agg=False keeps the sweep.
+    agg=True (default) runs the count-matrix engine — 6.45 ms/step with
+    the rank-field self-term vs the one-hot sweep's 43.1 ms (PARITY.md)
+    and plain XLA, so CPU runs don't pay interpret-mode Pallas; agg=False
+    keeps the sweep. exact=True default: fp32 measures FASTER than bf16
+    on this engine (6.45 vs 7.19 ms — the casts cost more than they save)
+    and is fp32-faithful.
     mesh: model-axis-sharded streaming trainer (the FFM master table is
     (1+F*K)-wide per row — the largest per-chip memory win from shards)."""
     if mesh is not None:
@@ -404,7 +407,11 @@ def _train_ffm_kernel_sharded(ds, mesh, factor, learning_rate, l2, epochs,
     state = shard_streaming_ffm_state(
         ffm_kernel.streaming_init(jax.random.PRNGKey(seed), cfg), mesh
     )
-    step = make_sharded_streaming_ffm_step(cfg, capacity, mesh)
+    # rank-field self-term when the dataset's ids partition into fields
+    # (plan_batch detected it on the full batch — a dataset-level property)
+    step = make_sharded_streaming_ffm_step(
+        cfg, capacity, mesh, fields_partition=plan.rank_field is not None
+    )
     arrays = ffm_kernel.plan_to_arrays(plan, capacity)
     epoch_losses = []
     for epoch in range(epochs):

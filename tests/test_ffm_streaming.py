@@ -103,6 +103,44 @@ def test_streaming_ffm_minibatch_trains_and_exports():
     assert np.isfinite(np.asarray(logits)).all()
 
 
+def test_streaming_ffm_rank_field_matches_per_position():
+    """fields_partition=True (rank-field self-term with the rank->field
+    map built in-graph) must reproduce the per-position agg streaming
+    trajectory on partitioned-field data, across distinct minibatches."""
+    V, F, Kf, B = 300, 6, 4, 8
+    capacity = 512
+    cfg = ffm_kernel.KernelFFMConfig(
+        n_features=V, n_fields=F, factor=Kf, learning_rate=0.2, l2=1e-4,
+        interpret=True, exact=True, agg=True,
+    )
+    batches = []
+    for s in range(3):
+        ids, vals, mask, _, labels = _toy_batch(seed=s, B=B, V=V, F=F)
+        batches.append((ids, vals, mask, (ids % F).astype(np.int32),
+                        labels))
+
+    trajs, finals = {}, {}
+    for fp in (False, True):
+        state = ffm_kernel.streaming_init(jax.random.PRNGKey(0), cfg)
+        step = ffm_kernel.make_streaming_train_step(cfg, capacity,
+                                                    fields_partition=fp)
+        losses = []
+        for epoch in range(4):
+            for ids, vals, mask, fields, labels in batches:
+                plan = ffm_kernel.plan_batch(ids, vals, mask, fields,
+                                             labels, n_rows_pad=capacity)
+                assert plan.rank_field is not None
+                state, loss = step(
+                    state, ffm_kernel.plan_to_arrays(plan, capacity)
+                )
+                losses.append(float(loss))
+        trajs[fp] = losses
+        finals[fp] = np.asarray(state.table)
+    np.testing.assert_allclose(trajs[True], trajs[False], rtol=1e-5)
+    np.testing.assert_allclose(finals[True], finals[False],
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_sharded_streaming_ffm_matches_single_device():
     """Model-axis-sharded streaming FFM == single-device streaming FFM
     on the 8-virtual-device mesh (the PS-scale FFM capability)."""

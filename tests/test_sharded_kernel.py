@@ -238,7 +238,7 @@ def test_sharded_streaming_ffm_matches_single_device():
     capacity = 512
     mesh = make_mesh(data=1, model=8)
 
-    for agg in (False, True):
+    for agg, fp in ((False, False), (True, False), (True, True)):
         cfg = ffm_kernel.KernelFFMConfig(
             n_features=V, n_fields=F, factor=Kf, learning_rate=0.2,
             l2=1e-4, interpret=True, exact=True, agg=agg,
@@ -247,8 +247,12 @@ def test_sharded_streaming_ffm_matches_single_device():
         state_8 = shard_streaming_ffm_state(
             ffm_kernel.streaming_init(jax.random.PRNGKey(0), cfg), mesh
         )
-        step_1 = ffm_kernel.make_streaming_train_step(cfg, capacity)
-        step_8 = make_sharded_streaming_ffm_step(cfg, capacity, mesh)
+        step_1 = ffm_kernel.make_streaming_train_step(
+            cfg, capacity, fields_partition=fp
+        )
+        step_8 = make_sharded_streaming_ffm_step(
+            cfg, capacity, mesh, fields_partition=fp
+        )
 
         losses_1, losses_8 = [], []
         for i in range(6):
