@@ -707,3 +707,88 @@ def make_xmat_sharded_train_step(cfg: KernelFMConfig, plan, mesh: Mesh):
     step._stepfn = raw_step
     step._consts = consts
     return step
+
+
+def make_grouped_sharded_ffm_step(cfg, gplan, mesh: Mesh):
+    """Data-sharded twin of the grouped field-blocked FFM step
+    (models/ffm_kernel.make_train_step_grouped) — the FFM headline
+    full-batch trainer scaled over the `data` mesh axis, same regime as
+    make_xmat_sharded_train_step: the per-group count matrices
+    [B, F_g, r_g] are batch-row-sharded, the grouped table replicates
+    (it is per-batch-small by construction), and ONE psum of
+    (loss, g_table, g_w0) makes the Adagrad update bit-identical on
+    every shard. Reference capability: full-batch FFM training
+    (train_ffm_algo.cpp:51-116) under the Ring-AllReduce regime
+    (ring_collect.h:48-72)."""
+    from ..models.ffm_kernel import (
+        KernelFFMState,
+        _logits_from_counts_grouped,
+        count_matrices_grouped,
+    )
+
+    B = gplan.labels.shape[0]
+    Dd = mesh.shape["data"]
+    assert B % Dd == 0, (B, Dd)
+    cdt = jnp.float32 if cfg.exact else jnp.bfloat16
+    n_valid = gplan.n_valid_rows
+
+    batch_sh = NamedSharding(mesh, P("data", None, None))
+    vec_sh = NamedSharding(mesh, P("data"))
+    consts = (
+        tuple(jax.device_put(C, batch_sh)
+              for C in count_matrices_grouped(gplan, gplan.xv, cdt)),
+        tuple(jax.device_put(C, batch_sh)
+              for C in count_matrices_grouped(gplan, gplan.xv * gplan.xv,
+                                              cdt)),
+        jax.device_put(gplan.labels, vec_sh),
+        jax.device_put(gplan.row_mask, vec_sh),
+    )
+
+    def local_step(table, w0, w0_accum, accum, Cs, Crow2s, lab, rm, hyper):
+        lr = cfg.learning_rate if hyper is None else hyper[0]
+        l2 = cfg.l2 if hyper is None else hyper[1]
+
+        def loss_fn(table, w0):
+            z = _logits_from_counts_grouped(table, w0, Cs, Crow2s, cfg,
+                                            gplan)
+            per = (jnp.maximum(z, 0) - z * lab
+                   + jnp.log1p(jnp.exp(-jnp.abs(z))))
+            return jnp.sum(per * rm) / n_valid     # local slice's share
+
+        loss, (g_table, g_w0) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            table, w0
+        )
+        loss, g_table, g_w0 = jax.lax.psum((loss, g_table, g_w0), "data")
+        g_table = g_table + l2 * table
+        accum = accum + g_table * g_table
+        table = table - lr * g_table / (jnp.sqrt(accum) + 1e-7)
+        w0_accum = w0_accum + g_w0 * g_w0
+        w0 = w0 - lr * g_w0 / (jnp.sqrt(w0_accum) + 1e-7)
+        return table, w0, w0_accum, accum, loss
+
+    rep = P()
+    grp = tuple(P("data", None, None) for _ in gplan.f_start)
+    mapped = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, rep, grp, grp, P("data"), P("data"), rep),
+        out_specs=(rep, rep, rep, rep, rep),
+        check_rep=False,
+    )
+
+    def raw_step(state, hyper, consts):
+        Cs, Crow2s, lab, rm = consts
+        table, w0, w0_accum, accum, loss = mapped(
+            state.table, state.w0, state.w0_accum, state.accum,
+            Cs, Crow2s, lab, rm, hyper,
+        )
+        return KernelFFMState(w0, w0_accum, table, accum), loss
+
+    jitted = jax.jit(raw_step)
+
+    def step(state, hyper=None):
+        return jitted(state, hyper, consts)
+
+    step._stepfn = raw_step
+    step._consts = consts
+    return step

@@ -351,10 +351,10 @@ def train_ffm_kernel(ds, factor=4, learning_rate=0.05, l2=0.0, epochs=5,
                      seed=0, exact=True, agg=True, log=print, mesh=None):
     """Full-batch kernel FFM -> (params dict {w0,w,v}, per-epoch losses).
 
-    agg=True (default) runs the count-matrix engine — 6.45 ms/step with
-    the rank-field self-term vs the one-hot sweep's 43.1 ms (PARITY.md)
-    and plain XLA, so CPU runs don't pay interpret-mode Pallas; agg=False
-    keeps the sweep. exact=True default: fp32 measures FASTER than bf16
+    agg=True (default) runs the count-matrix engine — the grouped
+    field-blocked layout when ids partition into fields (PARITY.md; vs
+    the one-hot sweep's 43.1 ms) and plain XLA, so CPU runs don't pay
+    interpret-mode Pallas; agg=False keeps the sweep. exact=True default: fp32 measures FASTER than bf16
     on this engine (6.45 vs 7.19 ms — the casts cost more than they save)
     and is fp32-faithful.
     mesh: model-axis-sharded streaming trainer (the FFM master table is
@@ -370,28 +370,28 @@ def train_ffm_kernel(ds, factor=4, learning_rate=0.05, l2=0.0, epochs=5,
         interpret=_interpret(),
     )
     if agg:
-        # field-blocked layout when the ids partition into fields: the
-        # count-matrix product is block diagonal in (field, rank), so the
-        # [B*F, R] x [R, Dw] matmul collapses to 'bfr,frd->bfd' — 7.2x
-        # fewer MACs and F x smaller count matrices on the bundled data
-        # (PARITY.md). Gated on the blocked table staying a sane size
-        # under field skew (r_max is the LARGEST field's unique count).
-        bplan = ffm_kernel.plan_batch_blocked(
+        # grouped field-blocked layout when the ids partition into
+        # fields: the count-matrix product is block diagonal in (field,
+        # rank) — one 'bfr,frd->bfd' einsum per field-size group, each
+        # field padded only to its group's largest unique count (5.3x
+        # fewer table rows than one-block on the bundled data's skew;
+        # PARITY.md). Gated on the grouped table staying a sane size.
+        gplan = ffm_kernel.plan_batch_grouped(
             ds.ids.astype(np.int64), ds.vals, ds.mask, ds.fields,
             ds.labels, n_fields=ds.n_fields,
         )
-        blk_bytes = (bplan.n_fields * bplan.r_max * cfg.row_width * 4 * 2
-                     if bplan is not None else None)
-        if bplan is not None and blk_bytes <= FFM_BLOCKED_MAX_BYTES:
-            state = ffm_kernel.init_blocked(jax.random.PRNGKey(seed), cfg,
-                                            bplan)
-            step = ffm_kernel.make_train_step_blocked(cfg, bplan)
+        grp_bytes = (gplan.n_rows_total * cfg.row_width * 4 * 2
+                     if gplan is not None else None)
+        if gplan is not None and grp_bytes <= FFM_BLOCKED_MAX_BYTES:
+            state = ffm_kernel.init_grouped(jax.random.PRNGKey(seed), cfg,
+                                            gplan)
+            step = ffm_kernel.make_train_step_grouped(cfg, gplan)
             state, losses = fm_kernel.make_multi_step(step, epochs)(state)
             epoch_losses = [float(l) for l in np.asarray(losses)]
             if log:
                 for epoch, l in enumerate(epoch_losses):
                     log(f"epoch {epoch}: loss={l:.5f}")
-            return ffm_kernel.export_params_blocked(state, bplan,
+            return ffm_kernel.export_params_grouped(state, gplan,
                                                     cfg), epoch_losses
     plan = ffm_kernel.plan_batch(
         ds.ids.astype(np.int64), ds.vals, ds.mask, ds.fields, ds.labels

@@ -316,4 +316,49 @@ def test_xmat_sharded_matches_single_device(sparse_small):
     run = fm_kernel.make_multi_step(step_8, 3)
     state_8b = fm_kernel.init(jax.random.PRNGKey(0), cfg, plan)
     _, losses = run(state_8b)
-    np.testing.assert_allclose(np.asarray(losses), losses_8[:3], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(losses), losses_8[:3], rtol=1e-4)
+
+
+def test_grouped_ffm_sharded_matches_single_device(sparse_small):
+    """Data-sharded grouped FFM step == single-device grouped step (the
+    FFM headline full-batch trainer scaled over `data`), incl. the
+    make_multi_step consts threading."""
+    from lightctr_tpu.models import ffm_kernel
+    from lightctr_tpu.parallel.sharded_kernel import (
+        make_grouped_sharded_ffm_step,
+    )
+
+    ds = sparse_small
+    cfg = ffm_kernel.KernelFFMConfig(
+        n_features=ds.n_features, n_fields=ds.n_fields, factor=2,
+        learning_rate=0.2, l2=1e-4, interpret=True, exact=True, agg=True,
+    )
+    gplan = ffm_kernel.plan_batch_grouped(
+        ds.ids.astype(np.int64), ds.vals, ds.mask, ds.fields, ds.labels,
+        n_fields=ds.n_fields, slot_pad=8,
+    )
+    assert gplan is not None
+    mesh = make_mesh(data=8, model=1)
+
+    state_1 = ffm_kernel.init_grouped(jax.random.PRNGKey(0), cfg, gplan)
+    state_8 = ffm_kernel.init_grouped(jax.random.PRNGKey(0), cfg, gplan)
+    step_1 = ffm_kernel.make_train_step_grouped(cfg, gplan)
+    step_8 = make_grouped_sharded_ffm_step(cfg, gplan, mesh)
+
+    losses_1, losses_8 = [], []
+    for _ in range(5):
+        state_1, l1 = step_1(state_1)
+        state_8, l8 = step_8(state_8)
+        losses_1.append(float(l1))
+        losses_8.append(float(l8))
+    # rtol 1e-4: psum reduce order + the FFM pairwise square amplify ulp
+    # differences through Adagrad faster than the FM xmat case
+    np.testing.assert_allclose(losses_8, losses_1, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(jax.device_get(state_8.table)),
+                               np.asarray(state_1.table),
+                               rtol=1e-3, atol=1e-5)
+
+    run = fm_kernel.make_multi_step(step_8, 3)
+    state_8b = ffm_kernel.init_grouped(jax.random.PRNGKey(0), cfg, gplan)
+    _, losses = run(state_8b)
+    np.testing.assert_allclose(np.asarray(losses), losses_8[:3], rtol=1e-4)
