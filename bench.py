@@ -52,7 +52,56 @@ import numpy as np
 
 
 REFERENCE_FM_EXAMPLES_PER_SEC = 1000 * 1000 / 9.32  # BASELINE.md vs_libfm k=8
+# measured ground truth for the reference FFM binary (PARITY.md: 100
+# epochs k=4 over the 1000-row train set in 64.69 s single-threaded)
+REFERENCE_FFM_EXAMPLES_PER_SEC = 1000 * 100 / 64.69
 PRODUCTION_TIMEOUT_S = int(os.environ.get("BENCH_PRODUCTION_TIMEOUT", "1500"))
+
+
+def ffm_main():
+    """Grouped active-width FFM full-batch step (the `--engine kernel`
+    FFM product path, PARITY.md): same data/regime as the headline FM
+    number, against the reference FFM binary's measured 1,546 ex/s."""
+    import time as _time
+
+    import jax
+
+    from lightctr_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from lightctr_tpu.data import load_libffm
+    from lightctr_tpu.models import ffm_kernel
+    from lightctr_tpu.models.fm_kernel import make_multi_step
+
+    ds = load_libffm("/root/reference/data/train_sparse.csv")
+    B = len(ds)
+    gplan = ffm_kernel.plan_batch_grouped(
+        ds.ids.astype(np.int64), ds.vals, ds.mask, ds.fields, ds.labels,
+        n_fields=ds.n_fields,
+    )
+    cfg = ffm_kernel.KernelFFMConfig(
+        n_features=ds.n_features, n_fields=ds.n_fields, factor=4,
+        learning_rate=0.05, l2=1e-4, exact=True, agg=True,
+    )
+    state = ffm_kernel.init_grouped(jax.random.PRNGKey(0), cfg, gplan)
+    step = ffm_kernel.make_train_step_grouped(cfg, gplan)
+    n_steps = 100
+    run = make_multi_step(step, n_steps)
+    _, losses = run(state)
+    float(losses[-1])                     # compile + sync
+    best = float("inf")
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        _, losses = run(state)
+        float(losses[-1])
+        best = min(best, (_time.perf_counter() - t0) / n_steps)
+    print(json.dumps({
+        "ffm_step_ms": round(best * 1e3, 3),
+        "ffm_examples_per_sec": round(B / best, 1),
+        "ffm_vs_reference_ffm": round(
+            B / best / REFERENCE_FFM_EXAMPLES_PER_SEC, 1),
+    }))
 
 
 def production_main():
@@ -108,10 +157,12 @@ def production_main():
     print(json.dumps(out))
 
 
-def run_production_subprocess():
+def run_bounded_subprocess(flag, fallback):
+    """Run this file with `flag` in a BOUNDED subprocess (cold compiles
+    over the tunnel must never suppress the primary metric)."""
     try:
         out = subprocess.run(
-            [sys.executable, "-u", os.path.abspath(__file__), "--production"],
+            [sys.executable, "-u", os.path.abspath(__file__), flag],
             capture_output=True, text=True, timeout=PRODUCTION_TIMEOUT_S,
             env=os.environ,
         )
@@ -121,11 +172,15 @@ def run_production_subprocess():
                 return json.loads(line)
     except (subprocess.TimeoutExpired, json.JSONDecodeError, OSError):
         pass
-    return {"production_examples_per_sec": None, "production_step_ms": None}
+    return fallback
 
 
 def main():
-    prod = run_production_subprocess()
+    prod = run_bounded_subprocess(
+        "--production",
+        {"production_examples_per_sec": None, "production_step_ms": None},
+    )
+    ffm = run_bounded_subprocess("--ffm", {"ffm_examples_per_sec": None})
 
     import jax
 
@@ -197,6 +252,7 @@ def main():
         "step_ms": round(dt * 1e3, 3),
         "algorithmic_tflops": round(algorithmic_tflops, 2),
         "finewin_step_ms": round(dt_fw * 1e3, 3),
+        **ffm,
         **prod,
     }))
 
@@ -204,5 +260,7 @@ def main():
 if __name__ == "__main__":
     if "--production" in sys.argv:
         production_main()
+    elif "--ffm" in sys.argv:
+        ffm_main()
     else:
         main()

@@ -719,13 +719,23 @@ def count_matrices_grouped(plan: GroupedFFMPlan, weights, dtype):
     return tuple(out)
 
 
+def grouped_row_width(cfg: KernelFFMConfig, plan: GroupedFFMPlan) -> int:
+    """ACTIVE row width: [w | V(n_active*factor)]. In permuted space the
+    active fields are contiguous at 0..n_active-1, so V column blocks
+    for fields never observed in the plan (31 of 68 on the bundled data)
+    are dropped from the table entirely — they receive no gradient in
+    any engine (their partner S rows are identically zero), and the
+    pairwise einsum shrinks from F^2 to n_active^2 field pairs."""
+    return 1 + plan.n_active * cfg.factor
+
+
 def init_grouped(rng: jax.Array, cfg: KernelFFMConfig,
                  plan: GroupedFFMPlan) -> KernelFFMState:
-    """Same noise law as init() on the [n_rows_total, Dw] flat table
-    (pad slots get inert noise, like init_blocked)."""
-    R, Dw = plan.n_rows_total, cfg.row_width
-    fk = cfg.n_fields * cfg.factor
-    table = jnp.zeros((R, Dw))
+    """Same noise law as init() on the [n_rows_total, Dwa] ACTIVE-width
+    flat table (pad slots get inert noise, like init_blocked)."""
+    R, Dwa = plan.n_rows_total, grouped_row_width(cfg, plan)
+    fk = plan.n_active * cfg.factor
+    table = jnp.zeros((R, Dwa))
     table = table.at[:, 1 : 1 + fk].set(
         jax.random.normal(rng, (R, fk)) * cfg.init_std
     )
@@ -733,25 +743,27 @@ def init_grouped(rng: jax.Array, cfg: KernelFFMConfig,
         w0=jnp.zeros(()),
         w0_accum=jnp.zeros(()),
         table=table,
-        accum=jnp.zeros((R, Dw)),
+        accum=jnp.zeros((R, Dwa)),
     )
 
 
 def _logits_from_counts_grouped(table, w0, Cs, Crow2s, cfg: KernelFFMConfig,
                                 plan: GroupedFFMPlan):
     """Grouped block-diagonal forward: one 'bfr,frd->bfd' einsum per
-    group, field blocks concatenated (zeros for empty fields) into the
-    [B, F, Dw] aggregate S the pairwise/self terms consume. All field
-    indices here are PERMUTED (descending-count) — the table is learned
-    in permuted space and export_params_grouped de-permutes."""
-    F, Kf, Dw = cfg.n_fields, cfg.factor, cfg.row_width
+    group, field blocks concatenated into the [B, A, Dwa] aggregate S
+    the pairwise/self terms consume (A = n_active; empty fields carry
+    no rows, no columns, and no pairwise work — their aggregates are
+    identically zero). All field indices here are PERMUTED
+    (descending-count) — the table is learned in permuted space and
+    export_params_grouped de-permutes."""
+    A, Kf = plan.n_active, cfg.factor
+    Dwa = grouped_row_width(cfg, plan)
     cdt = jnp.float32 if cfg.exact else jnp.bfloat16
-    B = Cs[0].shape[0]
     S_parts, self_t = [], 0.0
     for gi, (s, e, r, off) in enumerate(zip(plan.f_start, plan.f_end,
                                             plan.r_g, plan.row_offset)):
         Fg = e - s
-        Tg = table[off : off + Fg * r].reshape(Fg, r, Dw)
+        Tg = table[off : off + Fg * r].reshape(Fg, r, Dwa)
         S_parts.append(jnp.einsum("bfr,frd->bfd", Cs[gi], Tg.astype(cdt),
                                   preferred_element_type=jnp.float32))
         # own-field V columns of this group's rows (global new-field
@@ -759,17 +771,16 @@ def _logits_from_counts_grouped(table, w0, Cs, Crow2s, cfg: KernelFFMConfig,
         # backward writes dTg directly (see _logits_from_counts_blocked)
         d_cols = (1 + (s + jnp.arange(Fg))[:, None, None] * Kf
                   + jnp.arange(Kf)[None, :, None])        # [Fg, Kf, 1]
-        sel = (jnp.arange(Dw)[None, None, :] == d_cols).astype(Tg.dtype)
+        sel = (jnp.arange(Dwa)[None, None, :] == d_cols).astype(Tg.dtype)
         v_own = jnp.einsum("frd,fkd->frk", Tg, sel)       # [Fg, r, Kf]
         d2r = jnp.sum(v_own * v_own, axis=-1)             # [Fg, r]
         self_t = self_t + jnp.einsum("bfi,fi->b", Crow2s[gi],
                                      d2r.astype(cdt),
                                      preferred_element_type=jnp.float32)
-    if plan.n_active < F:
-        S_parts.append(jnp.zeros((B, F - plan.n_active, Dw), jnp.float32))
-    S = jnp.concatenate(S_parts, axis=1)                  # [B, F, Dw]
+    S = jnp.concatenate(S_parts, axis=1)                  # [B, A, Dwa]
     wx = jnp.sum(S[..., 0], axis=-1)
-    P = S[..., 1 : 1 + F * Kf].reshape(B, F, F, Kf).astype(cdt)
+    B = S.shape[0]
+    P = S[..., 1 : 1 + A * Kf].reshape(B, A, A, Kf).astype(cdt)
     total = jnp.einsum("bfgk,bgfk->b", P, P,
                        preferred_element_type=jnp.float32)
     return w0 + wx + 0.5 * (total - self_t)
@@ -820,23 +831,29 @@ def export_params_grouped(state: KernelFFMState, plan: GroupedFFMPlan,
                           cfg: KernelFFMConfig) -> dict:
     """-> params dict usable with models/ffm.forward (full-vocab space).
     The table's V column blocks are indexed by PERMUTED field — the
-    middle axis is de-permuted with plan.perm."""
-    F, Kf, Dw = cfg.n_fields, cfg.factor, cfg.row_width
+    middle axis is de-permuted with plan.inv_perm. Partner-field blocks
+    for fields unobserved in the plan don't exist in the active-width
+    table and export as zeros (they receive no gradient in any engine;
+    the dense engines leave them at init noise — both untrained)."""
+    F, Kf = cfg.n_fields, cfg.factor
+    A = plan.n_active
+    Dwa = grouped_row_width(cfg, plan)
     w_full = np.zeros((cfg.n_features,), np.float32)
     v_full = np.zeros((cfg.n_features, F, Kf), np.float32)
     table = np.asarray(state.table)
     csort = plan.cnts[plan.inv_perm]
+    active_old = plan.inv_perm[:A]       # old-field index of each block
     for gi, (s, e, r, off) in enumerate(zip(plan.f_start, plan.f_end,
                                             plan.r_g, plan.row_offset)):
-        Tg = table[off : off + (e - s) * r].reshape(e - s, r, Dw)
+        Tg = table[off : off + (e - s) * r].reshape(e - s, r, Dwa)
         for fl in range(e - s):
             n = int(csort[s + fl])
             if n == 0:
                 continue
             uids = plan.uids_grp[gi][fl, :n]
             w_full[uids] = Tg[fl, :n, 0]
-            v_new = Tg[fl, :n, 1 : 1 + F * Kf].reshape(-1, F, Kf)
-            v_full[uids] = v_new[:, plan.perm, :]
+            v_new = Tg[fl, :n, 1 : 1 + A * Kf].reshape(-1, A, Kf)
+            v_full[uids[:, None], active_old[None, :]] = v_new
     return {
         "w0": jnp.asarray(float(state.w0)),
         "w": jnp.asarray(w_full),

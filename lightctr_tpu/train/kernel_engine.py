@@ -380,7 +380,8 @@ def train_ffm_kernel(ds, factor=4, learning_rate=0.05, l2=0.0, epochs=5,
             ds.ids.astype(np.int64), ds.vals, ds.mask, ds.fields,
             ds.labels, n_fields=ds.n_fields,
         )
-        grp_bytes = (gplan.n_rows_total * cfg.row_width * 4 * 2
+        grp_bytes = (gplan.n_rows_total
+                     * ffm_kernel.grouped_row_width(cfg, gplan) * 4 * 2
                      if gplan is not None else None)
         if gplan is not None and grp_bytes <= FFM_BLOCKED_MAX_BYTES:
             state = ffm_kernel.init_grouped(jax.random.PRNGKey(seed), cfg,

@@ -32,10 +32,13 @@ def _toy_batch(seed=0, B=32, L=16, V=300, F=6, skew=False):
 
 def _transplant(flat_state, flat_plan, gplan, cfg):
     """Grouped state carrying the flat state's per-uid rows, V column
-    blocks permuted old-field -> new-field (pad slots zero)."""
-    F, Kf, Dw = cfg.n_fields, cfg.factor, cfg.row_width
+    blocks permuted old-field -> new-field, restricted to the ACTIVE
+    width (pad slots zero)."""
+    F, Kf = cfg.n_fields, cfg.factor
+    A = gplan.n_active
+    Dwa = ffm_kernel.grouped_row_width(cfg, gplan)
     table_f = np.asarray(flat_state.table)
-    table_g = np.zeros((gplan.n_rows_total, Dw), np.float32)
+    table_g = np.zeros((gplan.n_rows_total, Dwa), np.float32)
     uid_to_rank = {int(u): r for r, u in
                    enumerate(flat_plan.uids[: flat_plan.n_unique])}
     csort = gplan.cnts[gplan.inv_perm]
@@ -45,16 +48,16 @@ def _transplant(flat_state, flat_plan, gplan, cfg):
             for i in range(int(csort[s + fl])):
                 uid = int(gplan.uids_grp[gi][fl, i])
                 src = table_f[uid_to_rank[uid]]
-                row = np.zeros((Dw,), np.float32)
+                row = np.zeros((Dwa,), np.float32)
                 row[0] = src[0]
                 v_old = src[1 : 1 + F * Kf].reshape(F, Kf)
-                row[1 : 1 + F * Kf] = v_old[gplan.inv_perm].reshape(-1)
+                row[1 : 1 + A * Kf] = v_old[gplan.inv_perm[:A]].reshape(-1)
                 table_g[off + fl * r + i] = row
     return ffm_kernel.KernelFFMState(
         w0=flat_state.w0,
         w0_accum=flat_state.w0_accum,
         table=jnp.asarray(table_g),
-        accum=jnp.zeros((gplan.n_rows_total, Dw)),
+        accum=jnp.zeros((gplan.n_rows_total, Dwa)),
     )
 
 
@@ -98,8 +101,16 @@ def test_grouped_matches_flat_agg_trajectory():
     # (measured max |diff| 3.8e-7 after 6 Adagrad steps)
     np.testing.assert_allclose(np.asarray(p_g["w"]), np.asarray(p_f["w"]),
                                rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(p_g["v"]), np.asarray(p_f["v"]),
+    # partner-field blocks: equal on ACTIVE fields; blocks for fields
+    # never observed in the plan receive no gradient in either engine —
+    # the flat engine leaves init noise there, the active-width grouped
+    # table doesn't carry them at all and exports zeros
+    vf, vg = np.asarray(p_f["v"]), np.asarray(p_g["v"])
+    act = gplan.inv_perm[: gplan.n_active]
+    np.testing.assert_allclose(vg[:, act], vf[:, act],
                                rtol=1e-5, atol=1e-6)
+    inact = gplan.inv_perm[gplan.n_active:]
+    assert (vg[:, inact] == 0).all()
 
 
 def test_grouped_matches_blocked_single_group():
