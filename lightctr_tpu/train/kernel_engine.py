@@ -162,12 +162,14 @@ def train_fm_kernel(ds, factor=8, learning_rate=0.05, l2=0.0, epochs=5,
 
 def _train_fm_kernel_sharded(ds, mesh, factor, learning_rate, l2, epochs,
                              batch_size, seed, exact, log):
-    """Streaming kernel FM over a (data, model) mesh: the master table is
-    row-sharded over `model` (pull/compute/push cycle of
-    parallel/sharded_kernel.py — the PS-replacement capability), and the
-    sorted position space shards over `data` when the data axis is >1.
-    Losses match the single-device streaming trajectory
-    (tests/test_sharded_kernel.py)."""
+    """Sharded kernel FM. A DATA-only mesh (--mesh Nx1) + full batch
+    runs the headline design-matrix step sharded over the batch rows
+    (make_xmat_sharded_train_step — the reference's full-batch
+    Ring-AllReduce regime). Otherwise: streaming over the (data, model)
+    mesh, master table row-sharded over `model` (pull/compute/push cycle
+    of parallel/sharded_kernel.py — the PS-replacement capability), the
+    sorted position space sharded over `data` when >1. Losses match the
+    single-device trajectories (tests/test_sharded_kernel.py)."""
     from ..parallel.sharded_kernel import (
         make_dp_sharded_streaming_step,
         make_sharded_streaming_step,
@@ -178,8 +180,35 @@ def _train_fm_kernel_sharded(ds, mesh, factor, learning_rate, l2, epochs,
 
     M = mesh.shape["model"]
     Dd = mesh.shape["data"]
-    V = round_up_vocab(ds.n_features, max(1024, M))
     batch_size = min(batch_size, len(ds))
+    if M == 1 and batch_size >= len(ds):
+        # data-only mesh + full batch: the headline design-matrix step
+        # sharded over `data` (count matrices batch-row-sharded, ONE
+        # rank-space psum per step) — the product path for the
+        # reference's full-batch Ring-AllReduce regime
+        from ..parallel.sharded_kernel import make_xmat_sharded_train_step
+
+        cfg = fm_kernel.KernelFMConfig(
+            n_features=ds.n_features, factor=factor,
+            learning_rate=learning_rate, l2=l2, exact=exact,
+            interpret=_interpret(), xmat=True,
+        )
+        plan = fm_kernel.plan_batch(
+            ds.ids.astype(np.int64), ds.vals, ds.mask, ds.labels
+        )
+        if plan.b_pad % Dd == 0:
+            state = fm_kernel.init(jax.random.PRNGKey(seed), cfg, plan)
+            step = make_xmat_sharded_train_step(cfg, plan, mesh)
+            state, losses = fm_kernel.make_multi_step(step, epochs)(state)
+            epoch_losses = [float(l) for l in np.asarray(losses)]
+            if log:
+                for epoch, l in enumerate(epoch_losses):
+                    log(f"epoch {epoch}: loss={l:.5f}")
+            state = jax.device_get(state)
+            w0, w, v = fm_kernel.export_tables(state, plan, cfg)
+            return {"w0": jnp.asarray(w0), "w": jnp.asarray(w),
+                    "v": jnp.asarray(v)}, epoch_losses
+    V = round_up_vocab(ds.n_features, max(1024, M))
     capacity, b_pad = _streaming_dims(ds, batch_size, fine=True)
     cfg = fm_kernel.KernelFMConfig(
         n_features=V, factor=factor, learning_rate=learning_rate, l2=l2,
@@ -409,20 +438,49 @@ def train_ffm_kernel(ds, factor=4, learning_rate=0.05, l2=0.0, epochs=5,
 
 def _train_ffm_kernel_sharded(ds, mesh, factor, learning_rate, l2, epochs,
                               seed, exact, agg, log):
-    """Model-axis-sharded streaming FFM fed the full batch each epoch
-    (the reference's full-batch regime on the sharded master — same
-    trajectory as the full-batch step on touched rows,
-    tests/test_ffm_streaming.py / test_sharded_kernel.py)."""
+    """Sharded FFM: a DATA-only mesh (--mesh Nx1) runs the grouped
+    active-width full-batch step sharded over the batch rows (the
+    0.6 ms headline trainer scaled out, make_grouped_sharded_ffm_step);
+    a MODEL-only mesh (--mesh 1xM) runs the streaming vocab-master
+    trainer (sharded pull/compute/push — the PS capability) fed the
+    full batch each epoch, same trajectory as the full-batch step on
+    touched rows (tests/test_ffm_streaming.py / test_sharded_kernel.py)."""
     from ..parallel.sharded_kernel import (
+        make_grouped_sharded_ffm_step,
         make_sharded_streaming_ffm_step,
         shard_streaming_ffm_state,
     )
     from ..parallel.sharding import round_up_vocab
 
     M = mesh.shape["model"]
-    if mesh.shape.get("data", 1) != 1:
-        raise ValueError("sharded kernel FFM supports a model-only mesh "
-                         "(use --mesh 1xM)")
+    Dd = mesh.shape.get("data", 1)
+    if M == 1 and agg:
+        gplan = ffm_kernel.plan_batch_grouped(
+            ds.ids.astype(np.int64), ds.vals, ds.mask, ds.fields,
+            ds.labels, n_fields=ds.n_fields,
+        )
+        if gplan is not None and len(ds) % Dd == 0:
+            cfg = ffm_kernel.KernelFFMConfig(
+                n_features=ds.n_features, n_fields=ds.n_fields,
+                factor=factor, learning_rate=learning_rate, l2=l2,
+                exact=exact, agg=True, interpret=_interpret(),
+            )
+            state = ffm_kernel.init_grouped(jax.random.PRNGKey(seed), cfg,
+                                            gplan)
+            step = make_grouped_sharded_ffm_step(cfg, gplan, mesh)
+            state, losses = fm_kernel.make_multi_step(step, epochs)(state)
+            epoch_losses = [float(l) for l in np.asarray(losses)]
+            if log:
+                for epoch, l in enumerate(epoch_losses):
+                    log(f"epoch {epoch}: loss={l:.5f}")
+            state = jax.device_get(state)
+            return ffm_kernel.export_params_grouped(state, gplan,
+                                                    cfg), epoch_losses
+    if Dd != 1:
+        raise ValueError(
+            "sharded kernel FFM: use a data-only mesh (--mesh Nx1, "
+            "grouped full-batch) or a model-only mesh (--mesh 1xM, "
+            "streaming vocab master)")
     V = round_up_vocab(ds.n_features, max(1024, M))
     cfg = ffm_kernel.KernelFFMConfig(
         n_features=V, n_fields=ds.n_fields, factor=factor,

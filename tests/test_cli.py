@@ -142,3 +142,23 @@ def test_cli_train_kernel_engine_mesh_ffm(tiny_libffm, capsys):
     ])
     out = capsys.readouterr().out
     assert "train:" in out and "auc" in out
+
+
+def test_cli_train_kernel_engine_data_mesh(tiny_libffm, tmp_path, capsys):
+    """--engine kernel --mesh Nx1 + full batch: the data-sharded
+    full-batch fast paths (xmat FM / grouped FFM) as CLI product paths."""
+    ckpt = str(tmp_path / "dm")
+    main([
+        "train", "--model", "fm", "--factor", "4", "--train", tiny_libffm,
+        "--engine", "kernel", "--epochs", "4", "--lr", "0.2",
+        "--batch-size", "200", "--mesh", "8x1", "--ckpt", ckpt,
+    ])
+    out = capsys.readouterr().out
+    assert "train:" in out and "auc" in out
+    main([
+        "train", "--model", "ffm", "--factor", "2", "--train", tiny_libffm,
+        "--engine", "kernel", "--epochs", "4", "--lr", "0.2",
+        "--mesh", "8x1",
+    ])
+    out = capsys.readouterr().out
+    assert "train:" in out and "auc" in out

@@ -362,3 +362,38 @@ def test_grouped_ffm_sharded_matches_single_device(sparse_small):
     state_8b = ffm_kernel.init_grouped(jax.random.PRNGKey(0), cfg, gplan)
     _, losses = run(state_8b)
     np.testing.assert_allclose(np.asarray(losses), losses_8[:3], rtol=1e-4)
+
+
+def test_engine_data_mesh_full_batch_fm(sparse_small):
+    """train_fm_kernel with a data-only mesh + full batch routes to the
+    xmat data-sharded step and reproduces the unsharded engine's losses
+    (the CLI `--engine kernel --mesh 8x1` product path)."""
+    from lightctr_tpu.train.kernel_engine import train_fm_kernel
+
+    ds = sparse_small
+    kw = dict(factor=4, learning_rate=0.1, l2=1e-4, epochs=4,
+              batch_size=len(ds), log=None)
+    params_1, losses_1 = train_fm_kernel(ds, **kw)
+    mesh = make_mesh(data=8, model=1)
+    params_8, losses_8 = train_fm_kernel(ds, mesh=mesh, **kw)
+    np.testing.assert_allclose(losses_8, losses_1, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(params_8["w"]),
+                               np.asarray(params_1["w"]),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_engine_data_mesh_full_batch_ffm(sparse_small):
+    """train_ffm_kernel with a data-only mesh routes to the grouped
+    data-sharded step and reproduces the unsharded grouped engine's
+    losses (the CLI `--engine kernel --mesh 8x1` product path)."""
+    from lightctr_tpu.train.kernel_engine import train_ffm_kernel
+
+    ds = sparse_small
+    kw = dict(factor=2, learning_rate=0.1, l2=1e-4, epochs=4, log=None)
+    params_1, losses_1 = train_ffm_kernel(ds, **kw)
+    mesh = make_mesh(data=8, model=1)
+    params_8, losses_8 = train_ffm_kernel(ds, mesh=mesh, **kw)
+    np.testing.assert_allclose(losses_8, losses_1, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(params_8["w"]),
+                               np.asarray(params_1["w"]),
+                               rtol=1e-3, atol=1e-5)
