@@ -95,6 +95,57 @@ def main():
             f"(weak-scaling efficiency {eff*100:.0f}%)"
         )
 
+    # --- grouped full-batch FFM (the 0.62 ms headline trainer) sharded
+    # over `data`: constant per-device batch rows ---
+    from lightctr_tpu.models import ffm_kernel
+    from lightctr_tpu.parallel.sharded_kernel import (
+        make_grouped_sharded_ffm_step,
+    )
+
+    # vocab small enough that the batch SATURATES it at every size:
+    # rows_total (and so the replicated table + per-shard count-matrix
+    # slice) stays constant as B grows — true weak scaling. With an
+    # unsaturated vocab the unique count grows with B and the per-device
+    # step itself gets bigger, which is not a scaling measurement.
+    ffm_vocab = 4096
+    ncores = os.cpu_count() or 1
+    print("grouped FFM (data-sharded full batch):")
+    if not on_accel:
+        print(f"  [virtual mesh on {ncores} physical cores: this step is "
+              f"compute-dense, so efficiency at n > {ncores} devices is "
+              "core-bound, not a property of the sharding]")
+    base_time = None
+    for n in sizes:
+        mesh = make_mesh(data=n, model=1, devices=jax.devices()[:n])
+        B = per_device_batch * n
+        ids = rng.integers(0, ffm_vocab, (B, L)).astype(np.int64)
+        ones = np.ones((B, L), np.float32)
+        labels = rng.integers(0, 2, (B,)).astype(np.float32)
+        gplan = ffm_kernel.plan_batch_grouped(
+            ids, ones, ones, (ids % n_fields).astype(np.int32), labels,
+            n_fields=n_fields,
+        )
+        fcfg = ffm_kernel.KernelFFMConfig(
+            n_features=ffm_vocab, n_fields=n_fields, factor=4,
+            learning_rate=0.05, exact=True, agg=True,
+        )
+        state = ffm_kernel.init_grouped(jax.random.PRNGKey(0), fcfg, gplan)
+        step = make_grouped_sharded_ffm_step(fcfg, gplan, mesh)
+        state, loss = step(state)
+        float(loss)
+        n_steps = 20
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            state, loss = step(state)
+        float(loss)
+        dt = (time.perf_counter() - t0) / n_steps
+        if base_time is None:
+            base_time = dt
+        print(
+            f"devices={n}: {dt*1e3:.2f} ms/step, {B/dt:,.0f} ex/s "
+            f"(weak-scaling efficiency {base_time/dt*100:.0f}%)"
+        )
+
 
 if __name__ == "__main__":
     main()

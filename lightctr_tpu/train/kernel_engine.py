@@ -23,6 +23,8 @@ same downstream flow as the dense engine.
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 import jax
@@ -402,27 +404,33 @@ def train_ffm_kernel(ds, factor=4, learning_rate=0.05, l2=0.0, epochs=5,
         # grouped field-blocked layout when the ids partition into
         # fields: the count-matrix product is block diagonal in (field,
         # rank) — one 'bfr,frd->bfd' einsum per field-size group, each
-        # field padded only to its group's largest unique count (5.3x
+        # field padded only to its group's largest unique count (6.9x
         # fewer table rows than one-block on the bundled data's skew;
-        # PARITY.md). Gated on the grouped table staying a sane size.
+        # PARITY.md). Gated on the WHOLE working set (the dominant term
+        # is the two [B, rows_total] count matrices, not the table).
         gplan = ffm_kernel.plan_batch_grouped(
             ds.ids.astype(np.int64), ds.vals, ds.mask, ds.fields,
             ds.labels, n_fields=ds.n_fields,
         )
-        grp_bytes = (gplan.n_rows_total
-                     * ffm_kernel.grouped_row_width(cfg, gplan) * 4 * 2
-                     if gplan is not None else None)
-        if gplan is not None and grp_bytes <= FFM_BLOCKED_MAX_BYTES:
-            state = ffm_kernel.init_grouped(jax.random.PRNGKey(seed), cfg,
-                                            gplan)
-            step = ffm_kernel.make_train_step_grouped(cfg, gplan)
-            state, losses = fm_kernel.make_multi_step(step, epochs)(state)
-            epoch_losses = [float(l) for l in np.asarray(losses)]
-            if log:
-                for epoch, l in enumerate(epoch_losses):
-                    log(f"epoch {epoch}: loss={l:.5f}")
-            return ffm_kernel.export_params_grouped(state, gplan,
-                                                    cfg), epoch_losses
+        if gplan is not None:
+            Dwa = ffm_kernel.grouped_row_width(cfg, gplan)
+            grp_bytes = 4 * 2 * gplan.n_rows_total * (len(ds) + Dwa)
+            if grp_bytes <= FFM_BLOCKED_MAX_BYTES:
+                state = ffm_kernel.init_grouped(jax.random.PRNGKey(seed),
+                                                cfg, gplan)
+                step = ffm_kernel.make_train_step_grouped(cfg, gplan)
+                state, losses = fm_kernel.make_multi_step(step,
+                                                          epochs)(state)
+                epoch_losses = [float(l) for l in np.asarray(losses)]
+                if log:
+                    for epoch, l in enumerate(epoch_losses):
+                        log(f"epoch {epoch}: loss={l:.5f}")
+                return ffm_kernel.export_params_grouped(state, gplan,
+                                                        cfg), epoch_losses
+            # over budget: the flat count-matrix engine's C [B*F, R] is
+            # strictly LARGER — go to the dense Pallas sweep instead
+            # (table [R, Dw] + positions only, no densified batch)
+            cfg = dataclasses.replace(cfg, agg=False)
     plan = ffm_kernel.plan_batch(
         ds.ids.astype(np.int64), ds.vals, ds.mask, ds.fields, ds.labels
     )

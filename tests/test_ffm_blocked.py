@@ -131,7 +131,8 @@ def test_engine_routes_blocked_and_scores(tmp_path):
     ids, vals, mask, fields, labels = _toy_batch(seed=8, B=64)
 
     class DS:
-        pass
+        def __len__(self):
+            return len(self.labels)
 
     ds = DS()
     ds.ids, ds.vals, ds.mask, ds.fields, ds.labels = (

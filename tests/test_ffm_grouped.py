@@ -222,7 +222,8 @@ def test_engine_routes_grouped_and_scores():
     ids, vals, mask, fields, labels = _toy_batch(seed=8, B=64, skew=True)
 
     class DS:
-        pass
+        def __len__(self):
+            return len(self.labels)
 
     ds = DS()
     ds.ids, ds.vals, ds.mask, ds.fields, ds.labels = (
@@ -243,3 +244,28 @@ def test_engine_routes_grouped_and_scores():
     fcfg = ffm.FFMConfig(n_features=300, n_fields=6, factor=4)
     logits = ffm.forward(params, batch, fcfg)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_engine_over_budget_falls_back_to_sweep(monkeypatch):
+    """When the grouped working set exceeds the memory gate, the engine
+    must fall back to the dense Pallas sweep (agg=False) — NOT the flat
+    count-matrix engine, whose C [B*F, R] is strictly larger."""
+    from lightctr_tpu.train import kernel_engine
+
+    ids, vals, mask, fields, labels = _toy_batch(seed=3, B=16, L=8, V=64)
+
+    class DS:
+        def __len__(self):
+            return len(self.labels)
+
+    ds = DS()
+    ds.ids, ds.vals, ds.mask, ds.fields, ds.labels = (
+        ids, vals, mask, fields, labels
+    )
+    ds.n_features, ds.n_fields = 64, 6
+    monkeypatch.setattr(kernel_engine, "FFM_BLOCKED_MAX_BYTES", 1)
+    params, losses = kernel_engine.train_ffm_kernel(
+        ds, factor=2, learning_rate=0.1, epochs=3, log=None
+    )
+    assert np.isfinite(losses).all()
+    assert np.asarray(params["v"]).shape == (64, 6, 2)
