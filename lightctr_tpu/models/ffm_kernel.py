@@ -679,8 +679,10 @@ def plan_batch_grouped(ids, vals, mask, fields, labels, row_mask=None,
     k_idx = np.clip(k_idx, 0, len(uniq_key) - 1)
     slots = np.where(valid, slot_of[k_idx], 0).astype(np.int32)
     return GroupedFFMPlan(
-        new_field=jnp.asarray(perm[fields.astype(np.int64)]
-                              .astype(np.int32)),
+        # clip before the perm map: masked-out positions carry arbitrary
+        # field values (weight 0 — the value never matters downstream)
+        new_field=jnp.asarray(perm[np.clip(fields.astype(np.int64), 0,
+                                           F - 1)].astype(np.int32)),
         slots=jnp.asarray(slots.reshape(B, L)),
         xv=jnp.asarray((vals * mask).astype(np.float32)),
         labels=jnp.asarray(labels.astype(np.float32)),
