@@ -180,7 +180,10 @@ def main():
         "--production",
         {"production_examples_per_sec": None, "production_step_ms": None},
     )
-    ffm = run_bounded_subprocess("--ffm", {"ffm_examples_per_sec": None})
+    ffm = run_bounded_subprocess("--ffm", {
+        "ffm_step_ms": None, "ffm_examples_per_sec": None,
+        "ffm_vs_reference_ffm": None,
+    })
 
     import jax
 

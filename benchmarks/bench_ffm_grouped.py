@@ -3,9 +3,9 @@
 The one-block layout (bench_ffm_blocked.py, 4.66 ms exact) pads every
 field to the largest field's unique count (r_max=1280, 68*1280=87,040
 table rows for 8,245 uniques). Here fields are DP-partitioned into
-per-size groups (benchmarks show [1280 x 8 | 256 x 7 | 128 x 22] style
-splits on the bundled data's skew) — ~5.3x fewer rows, cutting the main
-einsum MACs, count-matrix HBM traffic, and optimizer work.
+per-size groups ([3x1280 | 6x768 | 4x256 | 24x128] on the bundled
+data's skew, 12,544 rows — 6.9x fewer), cutting the main einsum MACs,
+count-matrix HBM traffic, and optimizer work.
 
     PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/bench_ffm_grouped.py
 """

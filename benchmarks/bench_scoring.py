@@ -1,0 +1,86 @@
+"""Serving throughput: batch scoring on the real TPU (serve/scorer.py).
+
+The reference ships predictors (fm_predict.cpp etc.) but publishes no
+serving benchmark; this records ours. Production-ish shape: B=4096,
+L=64 nonzeros/row, 1M vocab. Readback is the numpy conversion the
+scorer itself performs per batch (a real device sync on this
+transport).
+
+    PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/bench_scoring.py
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lightctr_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from lightctr_tpu.models import ffm, fm, nfm
+    from lightctr_tpu.serve.scorer import make_scorer
+
+    L, F, vocab = 64, 68, 1_000_000
+    rng = np.random.default_rng(0)
+
+    def make_batch(B):
+        ids = rng.integers(0, vocab, (B, L)).astype(np.int32)
+        return {
+            "ids": jnp.asarray(ids),
+            "vals": jnp.ones((B, L), jnp.float32),
+            "fields": jnp.asarray((ids % F).astype(np.int32)),
+            "mask": jnp.ones((B, L), jnp.float32),
+            "labels": jnp.zeros((B,), jnp.float32),
+            "row_mask": jnp.ones((B,), jnp.float32),
+        }
+
+    out = {}
+    # FFM scores at the product batch_size (serve/scorer.py default 512):
+    # its dense forward materialises [B, L, F, K] — 35 MB at B=512 vs
+    # 285 MB at 4096, and the big shape's remote compile is minutes-slow
+    jobs = [
+        ("fm", fm, fm.FMConfig(n_features=vocab, factor=8), 4096),
+        ("ffm", ffm, ffm.FFMConfig(n_features=vocab, n_fields=F, factor=4),
+         512),
+        ("nfm", nfm, nfm.NFMConfig(n_features=vocab, factor=8,
+                                   hidden=(64,)), 4096),
+    ]
+    for name, mod, cfg, B in jobs:
+        batch = make_batch(B)
+        # jit the init (eager ops each compile separately over the
+        # tunnel — CLAUDE.md) and RETRY: remote compiles fail
+        # transiently ('Broken pipe' / 'response body closed')
+        for attempt in range(3):
+            try:
+                t0 = time.perf_counter()
+                params = jax.jit(lambda rng: mod.init(rng, cfg))(
+                    jax.random.PRNGKey(0))
+                score = make_scorer(mod, cfg, params)
+                s = np.asarray(score(batch))          # compile + sync
+                assert np.isfinite(s).all()
+                print(f"{name}: compiled in "
+                      f"{time.perf_counter() - t0:.1f}s", flush=True)
+                n = 30
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    s = np.asarray(score(batch))
+                dt = (time.perf_counter() - t0) / n
+                out[f"{name}_score_ms"] = round(dt * 1e3, 3)
+                out[f"{name}_examples_per_sec"] = round(B / dt, 1)
+                print(json.dumps(out), flush=True)
+                break
+            except Exception as e:                     # noqa: BLE001
+                print(f"{name}: attempt {attempt} failed: {e}",
+                      flush=True)
+                time.sleep(60)
+    print("FINAL " + json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -568,8 +568,8 @@ class GroupedFFMPlan:
     bundled CTR set: 8 fields with 545-1265 uniques, 31 empty fields,
     rest tiny) wastes most of the table. Here active fields are permuted
     by descending unique count and DP-partitioned into <= max_groups
-    contiguous segments, each padded only to ITS largest member — 5.3x
-    fewer table rows on the bundled data (87,040 -> 16,384), cutting the
+    contiguous segments, each padded only to ITS largest member — 6.9x
+    fewer table rows on the bundled data (87,040 -> 12,544), cutting the
     main einsum MACs, count-matrix HBM traffic and optimizer work by the
     same factor. Empty fields get no rows at all (their S block is a
     zeros concat). Built by plan_batch_grouped; None when ids don't

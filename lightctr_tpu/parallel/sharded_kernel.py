@@ -734,12 +734,27 @@ def make_grouped_sharded_ffm_step(cfg, gplan, mesh: Mesh):
 
     batch_sh = NamedSharding(mesh, P("data", None, None))
     vec_sh = NamedSharding(mesh, P("data"))
+    # build the count matrices ALREADY SHARDED: the [B, L] plan arrays
+    # are placed batch-row-sharded and the scatter runs under GSPMD with
+    # sharded outputs — the full [B, rows_total] working set never has
+    # to fit one device (it is why the data axis exists)
+    pos_sh = NamedSharding(mesh, P("data", None))
+    xv = jax.device_put(gplan.xv, pos_sh)
+    nf = jax.device_put(gplan.new_field, pos_sh)
+    sl = jax.device_put(gplan.slots, pos_sh)
+    grp_sh = tuple(batch_sh for _ in gplan.f_start)
+
+    def _build(xv, nf, sl):
+        import dataclasses as _dc
+
+        p = _dc.replace(gplan, xv=xv, new_field=nf, slots=sl)
+        return (count_matrices_grouped(p, xv, cdt),
+                count_matrices_grouped(p, xv * xv, cdt))
+
+    Cs, Crow2s = jax.jit(_build, out_shardings=(grp_sh, grp_sh))(xv, nf, sl)
     consts = (
-        tuple(jax.device_put(C, batch_sh)
-              for C in count_matrices_grouped(gplan, gplan.xv, cdt)),
-        tuple(jax.device_put(C, batch_sh)
-              for C in count_matrices_grouped(gplan, gplan.xv * gplan.xv,
-                                              cdt)),
+        Cs,
+        Crow2s,
         jax.device_put(gplan.labels, vec_sh),
         jax.device_put(gplan.row_mask, vec_sh),
     )

@@ -183,7 +183,10 @@ def _train_fm_kernel_sharded(ds, mesh, factor, learning_rate, l2, epochs,
     M = mesh.shape["model"]
     Dd = mesh.shape["data"]
     batch_size = min(batch_size, len(ds))
-    if M == 1 and batch_size >= len(ds):
+    # cheap pre-check (mirrors plan_batch's b_pad law) BEFORE the
+    # expensive host-side plan build
+    b_pad_full = max((len(ds) + 127) // 128 * 128, 128)
+    if M == 1 and batch_size >= len(ds) and b_pad_full % Dd == 0:
         # data-only mesh + full batch: the headline design-matrix step
         # sharded over `data` (count matrices batch-row-sharded, ONE
         # rank-space psum per step) — the product path for the
@@ -198,18 +201,23 @@ def _train_fm_kernel_sharded(ds, mesh, factor, learning_rate, l2, epochs,
         plan = fm_kernel.plan_batch(
             ds.ids.astype(np.int64), ds.vals, ds.mask, ds.labels
         )
-        if plan.b_pad % Dd == 0:
-            state = fm_kernel.init(jax.random.PRNGKey(seed), cfg, plan)
-            step = make_xmat_sharded_train_step(cfg, plan, mesh)
-            state, losses = fm_kernel.make_multi_step(step, epochs)(state)
-            epoch_losses = [float(l) for l in np.asarray(losses)]
-            if log:
-                for epoch, l in enumerate(epoch_losses):
-                    log(f"epoch {epoch}: loss={l:.5f}")
-            state = jax.device_get(state)
-            w0, w, v = fm_kernel.export_tables(state, plan, cfg)
-            return {"w0": jnp.asarray(w0), "w": jnp.asarray(w),
-                    "v": jnp.asarray(v)}, epoch_losses
+        assert plan.b_pad == b_pad_full, (plan.b_pad, b_pad_full)
+        state = fm_kernel.init(jax.random.PRNGKey(seed), cfg, plan)
+        step = make_xmat_sharded_train_step(cfg, plan, mesh)
+        state, losses = fm_kernel.make_multi_step(step, epochs)(state)
+        epoch_losses = [float(l) for l in np.asarray(losses)]
+        if log:
+            for epoch, l in enumerate(epoch_losses):
+                log(f"epoch {epoch}: loss={l:.5f}")
+        state = jax.device_get(state)
+        w0, w, v = fm_kernel.export_tables(state, plan, cfg)
+        return {"w0": jnp.asarray(w0), "w": jnp.asarray(w),
+                "v": jnp.asarray(v)}, epoch_losses
+    if M == 1 and batch_size >= len(ds) and log:
+        # tell the user the requested full-batch data-sharded path was
+        # not taken (batch pad does not divide the data axis)
+        log(f"mesh data axis {Dd} does not divide the padded batch "
+            f"{b_pad_full}; training through the streaming trainer")
     V = round_up_vocab(ds.n_features, max(1024, M))
     capacity, b_pad = _streaming_dims(ds, batch_size, fine=True)
     cfg = fm_kernel.KernelFMConfig(
@@ -414,7 +422,14 @@ def train_ffm_kernel(ds, factor=4, learning_rate=0.05, l2=0.0, epochs=5,
         )
         if gplan is not None:
             Dwa = ffm_kernel.grouped_row_width(cfg, gplan)
-            grp_bytes = 4 * 2 * gplan.n_rows_total * (len(ds) + Dwa)
+            A = gplan.n_active
+            # working set: 2 count matrices [B, rows_total] + table/accum
+            # [rows_total, Dwa] + fwd/bwd activations (S [B, A, Dwa] and
+            # the pairwise P [B, A, A, Kf], live twice through autodiff)
+            grp_bytes = 4 * (
+                2 * gplan.n_rows_total * (len(ds) + Dwa)
+                + 2 * len(ds) * A * (Dwa + 2 * A * factor)
+            )
             if grp_bytes <= FFM_BLOCKED_MAX_BYTES:
                 state = ffm_kernel.init_grouped(jax.random.PRNGKey(seed),
                                                 cfg, gplan)
@@ -429,8 +444,12 @@ def train_ffm_kernel(ds, factor=4, learning_rate=0.05, l2=0.0, epochs=5,
                                                         cfg), epoch_losses
             # over budget: the flat count-matrix engine's C [B*F, R] is
             # strictly LARGER — go to the dense Pallas sweep instead
-            # (table [R, Dw] + positions only, no densified batch)
-            cfg = dataclasses.replace(cfg, agg=False)
+            # (table [R, Dw] + positions only, no densified batch).
+            # EXCEPT off-TPU: the sweep would run interpret-mode Pallas
+            # (a crawl), and host RAM comfortably holds the flat C — the
+            # budget guards HBM, not host memory.
+            if not _interpret():
+                cfg = dataclasses.replace(cfg, agg=False)
     plan = ffm_kernel.plan_batch(
         ds.ids.astype(np.int64), ds.vals, ds.mask, ds.fields, ds.labels
     )
@@ -462,17 +481,27 @@ def _train_ffm_kernel_sharded(ds, mesh, factor, learning_rate, l2, epochs,
 
     M = mesh.shape["model"]
     Dd = mesh.shape.get("data", 1)
-    if M == 1 and agg:
+    if M == 1:
         gplan = ffm_kernel.plan_batch_grouped(
             ds.ids.astype(np.int64), ds.vals, ds.mask, ds.fields,
             ds.labels, n_fields=ds.n_fields,
+        ) if agg else None
+        cfg = ffm_kernel.KernelFFMConfig(
+            n_features=ds.n_features, n_fields=ds.n_fields,
+            factor=factor, learning_rate=learning_rate, l2=l2,
+            exact=exact, agg=True, interpret=_interpret(),
         )
-        if gplan is not None and len(ds) % Dd == 0:
-            cfg = ffm_kernel.KernelFFMConfig(
-                n_features=ds.n_features, n_fields=ds.n_fields,
-                factor=factor, learning_rate=learning_rate, l2=l2,
-                exact=exact, agg=True, interpret=_interpret(),
-            )
+        ok = gplan is not None and len(ds) % Dd == 0
+        if ok:
+            # PER-DEVICE working set: count matrices + activations are
+            # batch-sharded (1/Dd each), table/accum replicate
+            Dwa = ffm_kernel.grouped_row_width(cfg, gplan)
+            A = gplan.n_active
+            Bl = len(ds) // Dd
+            ok = 4 * (2 * gplan.n_rows_total * (Bl + Dwa)
+                      + 2 * Bl * A * (Dwa + 2 * A * factor)
+                      ) <= FFM_BLOCKED_MAX_BYTES
+        if ok:
             state = ffm_kernel.init_grouped(jax.random.PRNGKey(seed), cfg,
                                             gplan)
             step = make_grouped_sharded_ffm_step(cfg, gplan, mesh)
@@ -484,6 +513,16 @@ def _train_ffm_kernel_sharded(ds, mesh, factor, learning_rate, l2, epochs,
             state = jax.device_get(state)
             return ffm_kernel.export_params_grouped(state, gplan,
                                                     cfg), epoch_losses
+        # preconditions failed (ambiguous fields, Dd does not divide the
+        # batch, over budget, or agg=False): train unsharded rather than
+        # erroring — the full batch was host-resident to plan anyway
+        if log:
+            log(f"data mesh {Dd}x1: grouped sharded preconditions not "
+                "met; training unsharded")
+        return train_ffm_kernel(ds, factor=factor,
+                                learning_rate=learning_rate, l2=l2,
+                                epochs=epochs, seed=seed, exact=exact,
+                                agg=agg, log=log, mesh=None)
     if Dd != 1:
         raise ValueError(
             "sharded kernel FFM: use a data-only mesh (--mesh Nx1, "

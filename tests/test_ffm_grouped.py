@@ -248,8 +248,11 @@ def test_engine_routes_grouped_and_scores():
 
 def test_engine_over_budget_falls_back_to_sweep(monkeypatch):
     """When the grouped working set exceeds the memory gate, the engine
-    must fall back to the dense Pallas sweep (agg=False) — NOT the flat
-    count-matrix engine, whose C [B*F, R] is strictly larger."""
+    must fall back to a non-grouped engine and still train: on TPU the
+    dense Pallas sweep (agg=False — the flat count-matrix engine's
+    C [B*F, R] is strictly larger, so 'falling back' to it would use
+    MORE HBM); off-TPU the flat XLA engine (the sweep would run
+    interpret-mode Pallas, and the budget guards HBM, not host RAM)."""
     from lightctr_tpu.train import kernel_engine
 
     ids, vals, mask, fields, labels = _toy_batch(seed=3, B=16, L=8, V=64)
@@ -269,3 +272,32 @@ def test_engine_over_budget_falls_back_to_sweep(monkeypatch):
     )
     assert np.isfinite(losses).all()
     assert np.asarray(params["v"]).shape == (64, 6, 2)
+
+
+def test_engine_data_mesh_falls_back_unsharded(monkeypatch):
+    """--mesh Nx1 FFM with failed grouped preconditions (here: ambiguous
+    fields) must train UNSHARDED instead of raising a self-contradicting
+    error."""
+    from lightctr_tpu.parallel.mesh import make_mesh
+    from lightctr_tpu.train.kernel_engine import train_ffm_kernel
+
+    ids, vals, mask, fields, labels = _toy_batch(seed=4, B=32)
+    fields = fields.copy()
+    ids[0, 1] = ids[0, 0]
+    mask[0, :2] = 1.0
+    fields[0, 0], fields[0, 1] = 0, 1     # same id under two fields
+
+    class DS:
+        def __len__(self):
+            return len(self.labels)
+
+    ds = DS()
+    ds.ids, ds.vals, ds.mask, ds.fields, ds.labels = (
+        ids, vals, mask, fields, labels
+    )
+    ds.n_features, ds.n_fields = 300, 6
+    mesh = make_mesh(data=8, model=1)
+    params, losses = train_ffm_kernel(ds, factor=2, learning_rate=0.1,
+                                      epochs=3, log=None, mesh=mesh)
+    assert np.isfinite(losses).all()
+    assert np.asarray(params["v"]).shape == (300, 6, 2)

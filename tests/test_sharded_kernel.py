@@ -316,7 +316,7 @@ def test_xmat_sharded_matches_single_device(sparse_small):
     run = fm_kernel.make_multi_step(step_8, 3)
     state_8b = fm_kernel.init(jax.random.PRNGKey(0), cfg, plan)
     _, losses = run(state_8b)
-    np.testing.assert_allclose(np.asarray(losses), losses_8[:3], rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(losses), losses_8[:3], rtol=1e-5)
 
 
 def test_grouped_ffm_sharded_matches_single_device(sparse_small):
