@@ -153,6 +153,20 @@ def main(argv=None):
     t2.add_argument("--epochs", type=int, default=200)
     t2.add_argument("--top-words", type=int, default=10)
 
+    # nearest-neighbor retrieval over saved embeddings (reference TEST_ANN:
+    # predict/ann_index.h forest query, replaced by exact on-TPU MIPS top-k)
+    a = sub.add_parser("ann")
+    a.add_argument("--embeddings", required=True,
+                   help="`word v0 v1 ...` per line (the `embed --out` format)")
+    a.add_argument("--query", default=None,
+                   help="comma-separated words to look up")
+    a.add_argument("--query-file", default=None,
+                   help="file of query words, one per line")
+    a.add_argument("--k", type=int, default=10)
+    a.add_argument("--metric", default="cos", choices=["ip", "cos", "l2"])
+    a.add_argument("--dump", default=None,
+                   help="write `query neighbor score` lines")
+
     e = sub.add_parser("embed")
     e.add_argument("--text", required=True)
     e.add_argument("--vocab", required=True, help="reference vocab format: id word count")
@@ -174,7 +188,7 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", args.cpu_devices)
 
-    if args.cmd in ("train-dense", "gbm", "gmm", "plsa", "embed"):
+    if args.cmd in ("train-dense", "gbm", "gmm", "plsa", "embed", "ann"):
         return _run_aux_command(args)
 
     from .data import load_libffm
@@ -443,6 +457,42 @@ def _run_aux_command(args):
         if args.out:
             emb.save_embeddings(args.out, params, words)
             print(f"embeddings -> {args.out}")
+
+    elif args.cmd == "ann":
+        from .models.embedding import load_embeddings
+        from .serve.ann import MIPSIndex
+
+        words, emb_mat = load_embeddings(args.embeddings)
+        word_to_row = {w: i for i, w in enumerate(words)}
+        queries = []
+        if args.query:
+            queries += [w for w in args.query.split(",") if w]
+        if args.query_file:
+            queries += [line.strip() for line in open(args.query_file)
+                        if line.strip()]
+        if not queries:
+            raise SystemExit("ann: provide --query or --query-file")
+        unknown = [w for w in queries if w not in word_to_row]
+        if unknown:
+            raise SystemExit(f"ann: words not in the embedding file: {unknown}")
+        rows = np.asarray([word_to_row[w] for w in queries], np.int64)
+        index = MIPSIndex(emb_mat)
+        # k+1 then drop the query row itself (it is its own best match
+        # under ip/cos — the reference forest returns it too, ann_index.h
+        # query over the full point set)
+        scores, ids = index.query(emb_mat[rows], k=min(args.k + 1, len(words)),
+                                  metric=args.metric)
+        scores, ids = np.asarray(scores), np.asarray(ids)
+        out_lines = []
+        for qi, w in enumerate(queries):
+            pairs = [(words[j], s) for j, s in zip(ids[qi], scores[qi])
+                     if j != rows[qi]][: args.k]
+            print(f"{w}: " + " ".join(f"{n}({s:.4f})" for n, s in pairs))
+            out_lines += [f"{w} {n} {s:.6f}" for n, s in pairs]
+        if args.dump:
+            with open(args.dump, "w") as f:
+                f.write("\n".join(out_lines) + "\n")
+            print(f"neighbors -> {args.dump}")
 
 
 if __name__ == "__main__":

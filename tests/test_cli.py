@@ -162,3 +162,40 @@ def test_cli_train_kernel_engine_data_mesh(tiny_libffm, tmp_path, capsys):
     ])
     out = capsys.readouterr().out
     assert "train:" in out and "auc" in out
+
+
+def test_cli_ann(tmp_path, capsys):
+    """`ann` completes the main.cpp dispatch surface (TEST_ANN): nearest
+    neighbors over a saved embedding file via exact MIPS top-k."""
+    emb_file = tmp_path / "emb.txt"
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(3, 8)).astype(np.float32)
+    lines = []
+    words = []
+    for c in range(3):
+        for j in range(4):
+            w = f"w{c}_{j}"
+            words.append(w)
+            vec = base[c] + 0.05 * rng.normal(size=8)
+            lines.append(w + " " + " ".join(f"{v:.6f}" for v in vec))
+    emb_file.write_text("\n".join(lines) + "\n")
+
+    dump = tmp_path / "nn.txt"
+    main([
+        "ann", "--embeddings", str(emb_file), "--query", "w1_0,w2_3",
+        "--k", "3", "--metric", "cos", "--dump", str(dump),
+    ])
+    out = capsys.readouterr().out
+    # same-cluster words dominate the top-3, the query itself is excluded
+    first = out.splitlines()[0]
+    assert first.startswith("w1_0:") and "w1_0(" not in first
+    assert first.split(":", 1)[1].count("w1_") == 3
+    dumped = dump.read_text().strip().splitlines()
+    assert len(dumped) == 6 and dumped[0].split()[0] == "w1_0"
+
+
+def test_cli_ann_unknown_word(tmp_path):
+    emb_file = tmp_path / "e.txt"
+    emb_file.write_text("a 1 0\nb 0 1\n")
+    with pytest.raises(SystemExit, match="not in the embedding"):
+        main(["ann", "--embeddings", str(emb_file), "--query", "zzz"])
