@@ -89,6 +89,11 @@ def main(argv=None):
                    help="dense = autodiff XLA step; kernel = fused Pallas "
                         "trainers (fm/nfm streaming, ffm full-batch) — the "
                         "fast path bench.py measures")
+    t.add_argument("--stream", action="store_true",
+                   help="kernel FFM: minibatch-stream --batch-size rows "
+                        "against the vocab-space master table (fused "
+                        "one-dispatch step) instead of the full-batch "
+                        "count-matrix engine — the PS-scale regime")
     t.add_argument("--kernel-precision", default="exact",
                    choices=["exact", "bf16"],
                    help="kernel engine one-hot matmul precision")
@@ -228,6 +233,8 @@ def main(argv=None):
             elif args.model == "nfm":
                 hidden = tuple(int(h) for h in args.hidden.split(",") if h)
                 kw.update(batch_size=args.batch_size, hidden=hidden)
+            elif args.model == "ffm" and args.stream:
+                kw.update(batch_size=args.batch_size)
             params, _ = KERNEL_ENGINES[args.model](train_ds, **kw)
 
             print("train:", json.dumps(

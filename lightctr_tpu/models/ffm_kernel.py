@@ -907,6 +907,92 @@ def plan_to_arrays(plan: FFMBatchPlan, capacity: int) -> dict:
     }
 
 
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def plan_batch_on_device(ids, vals, mask, fields, labels, row_mask,
+                         capacity: int) -> dict:
+    """DEVICE-side batch planning for the streaming FFM step: dedup the
+    batch's feature ids into rank space entirely under ONE jit (eager ops
+    each dispatch separately over the tunneled backend). Same rank
+    assignment as the host plan_batch (ranks in sorted-id order, natural
+    [B*L] position order, padding rank = capacity-1) — mirrors the
+    reference worker's per-batch pull-key set
+    (distributed_algo_abst.h:181-190) without the host round-trip.
+
+    ids/vals/mask/fields: [B, L] device arrays; labels/row_mask: [B].
+    capacity: static rank-space size, > max uniques per batch
+    (e.g. B*L + 1 rounded up; see train/kernel_engine._streaming_dims).
+    Returns the dict make_streaming_train_step consumes.
+    """
+    B, L = ids.shape
+    n = B * L
+    n_pad = _round_up(n, TILE)
+    flat = ids.reshape(-1).astype(jnp.int32)
+    valid = mask.reshape(-1) > 0
+    sentinel = jnp.int32(2**31 - 1)
+    keyed = jnp.where(valid, flat, sentinel)
+    if n_pad > n:
+        keyed = jnp.concatenate(
+            [keyed, jnp.full((n_pad - n,), sentinel, jnp.int32)]
+        )
+    order = jnp.argsort(keyed)
+    sorted_ids = keyed[order]
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         (sorted_ids[1:] != sorted_ids[:-1]).astype(jnp.int32)]
+    )
+    is_new = jnp.where(sorted_ids == sentinel, 0, is_new)
+    ranks = jnp.cumsum(is_new) - 1
+    n_unique = jnp.sum(is_new)
+
+    pad_rank = capacity - 1
+    ranks_sorted = jnp.where(sorted_ids == sentinel, pad_rank,
+                             ranks).astype(jnp.int32)
+    # back to natural position order: order is a permutation of [0, n_pad)
+    ranks_nat = (jnp.zeros((n_pad,), jnp.int32)
+                 .at[order].set(ranks_sorted))
+    # uids[rank] = id, first-occurrence scatter; others dropped
+    take = jnp.where(is_new > 0, ranks, capacity)
+    uids = (
+        jnp.zeros((capacity + 1,), jnp.int32)
+        .at[take].set(jnp.where(sorted_ids == sentinel, 0, sorted_ids),
+                      mode="drop")[:capacity]
+    )
+    return {
+        "uids": uids,
+        "n_unique": n_unique.astype(jnp.int32),
+        "ranks": ranks_nat,
+        "xv": (vals * mask).astype(jnp.float32),
+        "fields": fields.astype(jnp.int32),
+        "labels": labels.astype(jnp.float32),
+        "row_mask": row_mask.astype(jnp.float32),
+    }
+
+
+def make_streaming_train_step_fused(cfg: KernelFFMConfig, capacity: int,
+                                    fields_partition: bool = False):
+    """ONE-dispatch streaming FFM step on raw [B, L] batches: the device
+    batch planner is traced INTO the streaming step, so each deployment
+    minibatch costs a single program dispatch (transfer + plan + step) —
+    the same collapse that took the FM twin from 7.5 to 4.19 ms at B=256
+    over the tunneled backend (PARITY.md). Numerics identical to
+    plan_batch + plan_to_arrays + make_streaming_train_step
+    (tests/test_ffm_streaming.py)."""
+    inner = make_streaming_train_step(cfg, capacity, fields_partition)
+    # trace through the jitted wrappers (their donation marks don't apply
+    # inside an outer jit); donation lives on THIS boundary instead
+    inner_raw = inner.__wrapped__
+    plan_raw = plan_batch_on_device.__wrapped__
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: StreamingFFMState, ids, vals, mask, fields, labels,
+             row_mask, hyper=None):
+        b = plan_raw(ids, vals, mask, fields, labels, row_mask,
+                     capacity=capacity)
+        return inner_raw(state, b, hyper)
+
+    return step
+
+
 def make_streaming_train_step(cfg: KernelFFMConfig, capacity: int,
                               fields_partition: bool = False):
     """Minibatch-streaming kernel FFM: one compiled program serves every

@@ -14,7 +14,9 @@ Engines:
   ffm — full-batch on the count-matrix (agg) engine by default: 6.45 ms
         vs the dense-sweep kernels' 43.1 ms on the bundled data (PARITY.md,
         100x the reference FFM), and pure XLA so the CPU/interpret path is
-        usable too.
+        usable too. batch_size < rows (CLI `--stream`) switches to the
+        fused ONE-dispatch streaming trainer against the vocab-space
+        master table (the PS-scale regime; same cycle as fm/nfm).
 
 Each returns a params dict in the corresponding dense model's format, so
 checkpointing (train/checkpoint.py) and scoring (serve/scorer.py) are the
@@ -387,21 +389,34 @@ def _train_nfm_kernel_sharded(ds, mesh, factor, hidden, learning_rate,
 
 
 def train_ffm_kernel(ds, factor=4, learning_rate=0.05, l2=0.0, epochs=5,
-                     seed=0, exact=True, agg=True, log=print, mesh=None):
-    """Full-batch kernel FFM -> (params dict {w0,w,v}, per-epoch losses).
+                     seed=0, exact=True, agg=True, log=print, mesh=None,
+                     batch_size=None):
+    """Kernel FFM -> (params dict {w0,w,v}, per-epoch losses).
 
-    agg=True (default) runs the count-matrix engine — the grouped
-    field-blocked layout when ids partition into fields (PARITY.md; vs
-    the one-hot sweep's 43.1 ms) and plain XLA, so CPU runs don't pay
-    interpret-mode Pallas; agg=False keeps the sweep. exact=True default: fp32 measures FASTER than bf16
+    Full-batch by default (the reference FFM regime) on the count-matrix
+    engine (agg=True) — the grouped field-blocked layout when ids
+    partition into fields (PARITY.md; vs the one-hot sweep's 43.1 ms) and
+    plain XLA, so CPU runs don't pay interpret-mode Pallas; agg=False
+    keeps the sweep. exact=True default: fp32 measures FASTER than bf16
     on this engine (6.45 vs 7.19 ms — the casts cost more than they save)
     and is fp32-faithful.
+    batch_size (< dataset rows): minibatch-streaming against the
+    vocab-space master table via the fused ONE-dispatch step
+    (ffm_kernel.make_streaming_train_step_fused — device planning traced
+    into the train step) — the PS-scale regime where the working set
+    can't densify full-batch.
     mesh: model-axis-sharded streaming trainer (the FFM master table is
     (1+F*K)-wide per row — the largest per-chip memory win from shards)."""
     if mesh is not None:
         return _train_ffm_kernel_sharded(
             ds, mesh, factor=factor, learning_rate=learning_rate, l2=l2,
             epochs=epochs, seed=seed, exact=exact, agg=agg, log=log,
+        )
+    if batch_size is not None and batch_size < len(ds):
+        return _train_ffm_kernel_streaming(
+            ds, factor=factor, learning_rate=learning_rate, l2=l2,
+            epochs=epochs, batch_size=batch_size, seed=seed, exact=exact,
+            agg=agg, log=log,
         )
     cfg = ffm_kernel.KernelFFMConfig(
         n_features=ds.n_features, n_fields=ds.n_fields, factor=factor,
@@ -461,6 +476,63 @@ def train_ffm_kernel(ds, factor=4, learning_rate=0.05, l2=0.0, epochs=5,
         for epoch, l in enumerate(epoch_losses):
             log(f"epoch {epoch}: loss={l:.5f}")
     return ffm_kernel.export_params(state, plan, cfg), epoch_losses
+
+
+def _fields_partition(ds) -> bool:
+    """True iff every feature id carries ONE field across the dataset —
+    the standard libffm property that enables the rank-field self-term
+    engine (ffm_kernel._logits_from_counts_rf). One O(nnz) host pass."""
+    flat_ids = ds.ids.reshape(-1)
+    flat_f = ds.fields.reshape(-1)
+    valid = ds.mask.reshape(-1) > 0
+    fid = np.full((ds.n_features,), -1, np.int64)
+    fid[flat_ids[valid]] = flat_f[valid]
+    return bool(np.all(fid[flat_ids[valid]] == flat_f[valid]))
+
+
+def _train_ffm_kernel_streaming(ds, factor, learning_rate, l2, epochs,
+                                batch_size, seed, exact, agg, log):
+    """Minibatch-streaming kernel FFM: vocab-space master table, fused
+    one-dispatch step (device planning traced into the train step), the
+    Prefetcher thread staging host->device transfers — the same cycle as
+    the FM/NFM streaming engines. Reference capability: FFM at PS scale
+    (paramserver.h sharded KV); here one chip streams against the
+    HBM-resident master."""
+    cfg = ffm_kernel.KernelFFMConfig(
+        n_features=ds.n_features, n_fields=ds.n_fields, factor=factor,
+        learning_rate=learning_rate, l2=l2, exact=exact, agg=agg,
+        interpret=_interpret(),
+    )
+    L = ds.ids.shape[1]
+    max_uniques = min(batch_size * L, ds.n_features)
+    capacity = _round_up(max_uniques + 2, 2 * TILE)
+    fp = agg and _fields_partition(ds)
+
+    state = ffm_kernel.streaming_init(jax.random.PRNGKey(seed), cfg)
+    step = ffm_kernel.make_streaming_train_step_fused(
+        cfg, capacity, fields_partition=fp)
+    np_rng = np.random.default_rng(seed)
+
+    def place(b):
+        return tuple(
+            jnp.asarray(b[k].astype(np.int32)) if k in ("ids", "fields")
+            else jnp.asarray(b[k])
+            for k in ("ids", "vals", "mask", "fields", "labels", "row_mask")
+        )
+
+    pf = Prefetcher(
+        lambda ep: sparse_batches(ds, batch_size, rng=np_rng), placer=place
+    )
+    epoch_losses = []
+    for epoch in range(epochs):
+        losses = []
+        for b in pf.epoch(epoch):
+            state, loss = step(state, *b)
+            losses.append(loss)
+        epoch_losses.append(float(jnp.mean(jnp.stack(losses))))
+        if log:
+            log(f"epoch {epoch}: loss={epoch_losses[-1]:.5f}")
+    return ffm_kernel.export_streaming_params(state, cfg), epoch_losses
 
 
 def _train_ffm_kernel_sharded(ds, mesh, factor, learning_rate, l2, epochs,

@@ -199,3 +199,15 @@ def test_cli_ann_unknown_word(tmp_path):
     emb_file.write_text("a 1 0\nb 0 1\n")
     with pytest.raises(SystemExit, match="not in the embedding"):
         main(["ann", "--embeddings", str(emb_file), "--query", "zzz"])
+
+
+def test_cli_train_kernel_engine_ffm_stream(tiny_libffm, capsys):
+    """--stream routes kernel FFM to the fused one-dispatch streaming
+    trainer (vocab-space master table, minibatches)."""
+    main([
+        "train", "--model", "ffm", "--factor", "2", "--train", tiny_libffm,
+        "--engine", "kernel", "--stream", "--batch-size", "64",
+        "--epochs", "4", "--lr", "0.2",
+    ])
+    out = capsys.readouterr().out
+    assert "train:" in out and "auc" in out

@@ -182,3 +182,77 @@ def test_sharded_streaming_ffm_matches_single_device():
     t1 = np.asarray(state_1.table)
     t8 = np.asarray(jax.device_get(state_8.table))
     np.testing.assert_allclose(t8, t1, rtol=1e-4, atol=1e-6)
+
+
+def test_fused_streaming_ffm_matches_host_planned():
+    """make_streaming_train_step_fused (device planner traced into the
+    step, one dispatch per raw [B, L] batch) must reproduce the
+    host-planned streaming trajectory exactly, across distinct
+    minibatches and for both self-term engines."""
+    V, F, Kf, B = 300, 6, 4, 8
+    capacity = 512
+    cfg = ffm_kernel.KernelFFMConfig(
+        n_features=V, n_fields=F, factor=Kf, learning_rate=0.2, l2=1e-4,
+        interpret=True, exact=True, agg=True,
+    )
+    batches = []
+    for s in range(3):
+        ids, vals, mask, _, labels = _toy_batch(seed=s, B=B, V=V, F=F)
+        # partitioned fields so fields_partition=True is exercisable too
+        batches.append((ids, vals, mask, (ids % F).astype(np.int32),
+                        labels))
+    row_mask = np.ones((B,), np.float32)
+
+    for fp in (False, True):
+        st_h = ffm_kernel.streaming_init(jax.random.PRNGKey(0), cfg)
+        st_f = ffm_kernel.streaming_init(jax.random.PRNGKey(0), cfg)
+        step_h = ffm_kernel.make_streaming_train_step(
+            cfg, capacity, fields_partition=fp)
+        step_f = ffm_kernel.make_streaming_train_step_fused(
+            cfg, capacity, fields_partition=fp)
+        losses_h, losses_f = [], []
+        for epoch in range(3):
+            for ids, vals, mask, fields, labels in batches:
+                plan = ffm_kernel.plan_batch(ids, vals, mask, fields,
+                                             labels, n_rows_pad=capacity)
+                st_h, lh = step_h(
+                    st_h, ffm_kernel.plan_to_arrays(plan, capacity))
+                st_f, lf = step_f(
+                    st_f,
+                    jnp.asarray(ids.astype(np.int32)), jnp.asarray(vals),
+                    jnp.asarray(mask), jnp.asarray(fields),
+                    jnp.asarray(labels), jnp.asarray(row_mask),
+                )
+                losses_h.append(float(lh))
+                losses_f.append(float(lf))
+        np.testing.assert_allclose(losses_f, losses_h, rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(st_f.table), np.asarray(st_h.table),
+            rtol=1e-4, atol=1e-6,
+        )
+
+
+def test_device_planner_matches_host_plan():
+    """plan_batch_on_device == plan_batch + plan_to_arrays field by field
+    (including partial row_mask and invalid positions)."""
+    ids, vals, mask, fields, labels = _toy_batch(seed=7)
+    B = ids.shape[0]
+    row_mask = np.ones((B,), np.float32)
+    row_mask[-2:] = 0.0
+    mask = mask * row_mask[:, None]
+    capacity = 512
+    plan = ffm_kernel.plan_batch(ids, vals, mask, fields, labels,
+                                 row_mask=row_mask, n_rows_pad=capacity)
+    host = ffm_kernel.plan_to_arrays(plan, capacity)
+    dev = ffm_kernel.plan_batch_on_device(
+        jnp.asarray(ids.astype(np.int32)), jnp.asarray(vals),
+        jnp.asarray(mask), jnp.asarray(fields), jnp.asarray(labels),
+        jnp.asarray(row_mask), capacity=capacity,
+    )
+    assert int(dev["n_unique"]) == int(host["n_unique"])
+    np.testing.assert_array_equal(np.asarray(dev["uids"]),
+                                  np.asarray(host["uids"]))
+    np.testing.assert_array_equal(np.asarray(dev["ranks"]),
+                                  np.asarray(host["ranks"]))
+    np.testing.assert_allclose(np.asarray(dev["xv"]),
+                               np.asarray(host["xv"]))
