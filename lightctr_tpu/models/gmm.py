@@ -51,10 +51,14 @@ def log_prob(state: GMMState, x: jax.Array) -> jax.Array:
     """Per-cluster log density [N, K] (GaussianLPDF semantics)."""
     # -0.5 * sum_d [ log(2 pi var) + (x-mu)^2/var ], with the quadratic
     # expanded into matmuls: (x-mu)^2/var = x^2/var - 2 x mu/var + mu^2/var
+    # precision=HIGHEST: the expansion cancels catastrophically, and TPU
+    # matmuls default to bf16 passes — measured blowing the likelihood to
+    # +1e9 on the v5e (benchmarks/bench_gmm_headtohead.py provenance)
+    hi = jax.lax.Precision.HIGHEST
     inv_var = 1.0 / state.var                                   # [K,D]
     quad = (
-        (x * x) @ inv_var.T
-        - 2.0 * x @ (state.mu * inv_var).T
+        jnp.matmul(x * x, inv_var.T, precision=hi)
+        - 2.0 * jnp.matmul(x, (state.mu * inv_var).T, precision=hi)
         + jnp.sum(state.mu * state.mu * inv_var, axis=-1)[None, :]
     )                                                            # [N,K]
     log_norm = jnp.sum(jnp.log(2.0 * jnp.pi * state.var), axis=-1)  # [K]
@@ -66,9 +70,10 @@ def em_step(state: GMMState, x: jax.Array, var_floor: float = 1e-4):
     lp = log_prob(state, x) + state.log_pi[None, :]             # [N,K]
     ll = jax.scipy.special.logsumexp(lp, axis=-1)               # [N]
     resp = jnp.exp(lp - ll[:, None])                            # [N,K]
+    hi = jax.lax.Precision.HIGHEST
     nk = jnp.sum(resp, axis=0) + 1e-10                          # [K]
-    mu = (resp.T @ x) / nk[:, None]
-    ex2 = (resp.T @ (x * x)) / nk[:, None]
+    mu = jnp.matmul(resp.T, x, precision=hi) / nk[:, None]
+    ex2 = jnp.matmul(resp.T, x * x, precision=hi) / nk[:, None]
     var = jnp.maximum(ex2 - mu * mu, var_floor)
     log_pi = jnp.log(nk / x.shape[0])
     return GMMState(log_pi=log_pi, mu=mu, var=var), jnp.mean(ll)
@@ -95,6 +100,46 @@ def fit(
             break
         prev = ll
     return state, float(ll)
+
+
+def fit_scan(
+    x,
+    cfg: GMMConfig,
+    epochs: int = 50,
+    tol_total: float = 1e-3,
+) -> tuple[GMMState, float, int]:
+    """Whole EM loop as ONE compiled program: lax.while_loop with the
+    reference's convergence semantics (em_algo_abst.h:33-48 — stop when
+    the TOTAL log-likelihood moves <= tol between epochs, cap `epochs`).
+    On a tunneled TPU transport the per-epoch host readback of fit()
+    dominates wall time; this runs device-side and reads back once.
+
+    Returns (state, final TOTAL log-likelihood, epochs run)."""
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[0]
+    state0 = init(jax.random.PRNGKey(cfg.seed), cfg, x)
+
+    @jax.jit
+    def run(state):
+        def cond(carry):
+            _, i, ll, last = carry
+            return jnp.logical_and(
+                i < epochs,
+                jnp.logical_or(i == 0, jnp.abs(ll - last) > tol_total),
+            )
+
+        def body(carry):
+            s, i, ll, _ = carry
+            s2, mean_ll = em_step(s, x, cfg.var_floor)
+            return s2, i + 1, mean_ll * n, ll
+
+        s, i, ll, _ = jax.lax.while_loop(
+            cond, body, (state, jnp.int32(0), -jnp.inf, -jnp.inf)
+        )
+        return s, ll, i
+
+    state, ll, i = run(state0)
+    return state, float(ll), int(i)
 
 
 def predict(state: GMMState, x) -> jax.Array:

@@ -39,6 +39,31 @@ def test_gmm_loglik_monotone():
     assert all(b >= a - 1e-3 for a, b in zip(lls, lls[1:]))
 
 
+def test_gmm_fit_scan_matches_fit():
+    """fit_scan (device-side while_loop, one compiled program — the
+    head-to-head path, benchmarks/bench_gmm_headtohead.py) runs the same
+    EM math as the host-loop fit(): identical state after the same
+    number of epochs, and the reference convergence semantics
+    (em_algo_abst.h:33-48: |total ll delta| <= tol) actually stop it."""
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(300, 6)).astype(np.float32) * 3.0
+    cfg = gmm.GMMConfig(n_clusters=4, dim=6, seed=3)
+
+    state_scan, ll_scan, epochs = gmm.fit_scan(x, cfg, epochs=12,
+                                               tol_total=0.0)
+    assert epochs == 12  # tol 0 -> never converges early
+    state_loop, _ = gmm.fit(x, cfg, epochs=12, tol=0.0)
+    np.testing.assert_allclose(state_scan.mu, state_loop.mu,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(state_scan.var, state_loop.var,
+                               rtol=1e-5, atol=1e-5)
+    assert np.isfinite(ll_scan)
+
+    # a loose tolerance stops well before the cap
+    _, _, epochs_loose = gmm.fit_scan(x, cfg, epochs=50, tol_total=50.0)
+    assert epochs_loose < 50
+
+
 def test_plsa_separates_topics():
     rng = np.random.default_rng(0)
     # two synthetic topics over disjoint vocab halves
