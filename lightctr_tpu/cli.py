@@ -209,6 +209,20 @@ def main(argv=None):
             n_features = round_up_vocab(n_features)
         model, cfg = _build_model(args, n_features, train_ds.n_fields)
 
+        if getattr(args, "stream", False):
+            # --stream only gates the single-device kernel-FFM branch; in
+            # every other combination it would be silently ignored and a
+            # user asking for the PS-scale streaming regime would get a
+            # different engine (advisor r2) — refuse loudly instead.
+            if args.engine != "kernel" or args.model != "ffm":
+                raise SystemExit(
+                    "--stream requires --engine kernel --model ffm "
+                    f"(got engine={args.engine}, model={args.model})")
+            if args.mesh:
+                raise SystemExit(
+                    "--stream is single-device (the sharded kernel "
+                    "trainers stream by their own batch planner); drop "
+                    "--mesh or drop --stream")
         if args.engine == "kernel":
             if args.model not in ("fm", "nfm", "ffm"):
                 raise SystemExit(

@@ -922,6 +922,10 @@ def plan_batch_on_device(ids, vals, mask, fields, labels, row_mask,
     capacity: static rank-space size, > max uniques per batch
     (e.g. B*L + 1 rounded up; see train/kernel_engine._streaming_dims).
     Returns the dict make_streaming_train_step consumes.
+
+    Feature ids must be < 2**31 - 1: ids are cast to int32 and INT32_MAX
+    is the invalid-position sentinel (the host plan_batch works in
+    int64). The step factories guard this at build time.
     """
     B, L = ids.shape
     n = B * L
@@ -977,6 +981,10 @@ def make_streaming_train_step_fused(cfg: KernelFFMConfig, capacity: int,
     over the tunneled backend (PARITY.md). Numerics identical to
     plan_batch + plan_to_arrays + make_streaming_train_step
     (tests/test_ffm_streaming.py)."""
+    assert cfg.n_features < 2**31 - 1, (
+        f"device planner is int32 with INT32_MAX as the pad sentinel; "
+        f"n_features={cfg.n_features} would silently wrap/collide "
+        f"(use host plan_batch, which is int64, beyond 2**31-2)")
     inner = make_streaming_train_step(cfg, capacity, fields_partition)
     # trace through the jitted wrappers (their donation marks don't apply
     # inside an outer jit); donation lives on THIS boundary instead

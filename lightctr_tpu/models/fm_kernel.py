@@ -778,6 +778,10 @@ def make_streaming_train_step_fused(cfg: KernelFMConfig, capacity: int,
     (PARITY.md: 10.1 ms plan+step at B=256 -> fused measurement there).
     Numerics identical to plan_batch_on_device + the packed step
     (tests/test_fm_streaming.py)."""
+    assert cfg.n_features < 2**31 - 1, (
+        f"device planner is int32 with INT32_MAX as the pad sentinel; "
+        f"n_features={cfg.n_features} would silently wrap/collide "
+        f"(use host plan_batch, which is int64, beyond 2**31-2)")
     inner = make_streaming_train_step_packed(cfg, capacity, b_pad)
     # trace through the jitted wrappers (their donation marks don't apply
     # inside an outer jit); donation lives on THIS boundary instead
@@ -815,6 +819,10 @@ def plan_batch_on_device(ids, vals, mask, labels, row_mask,
     the data-sharded step needs n_data * TILE so each data shard gets an
     equal whole number of tiles).
     Returns the dict make_streaming_train_step consumes.
+
+    Feature ids must be < 2**31 - 1: ids are cast to int32 and INT32_MAX
+    is the invalid-position sentinel (the host plan_batch works in
+    int64). The fused step factory guards this at build time.
     """
     from ..ops.embedding_pallas import TILE
 

@@ -211,3 +211,17 @@ def test_cli_train_kernel_engine_ffm_stream(tiny_libffm, capsys):
     ])
     out = capsys.readouterr().out
     assert "train:" in out and "auc" in out
+
+
+def test_cli_stream_rejects_unsupported_combinations(tiny_libffm):
+    """--stream must never be silently ignored (advisor r2): it errors
+    with --mesh, with the dense engine, and with non-FFM models."""
+    base = ["train", "--train", tiny_libffm, "--stream",
+            "--batch-size", "64", "--epochs", "1"]
+    with pytest.raises(SystemExit, match="--stream requires"):
+        main(base + ["--model", "ffm"])  # default dense engine
+    with pytest.raises(SystemExit, match="--stream requires"):
+        main(base + ["--model", "fm", "--engine", "kernel"])
+    with pytest.raises(SystemExit, match="single-device"):
+        main(base + ["--model", "ffm", "--engine", "kernel",
+                     "--mesh", "2x1"])
