@@ -1,0 +1,94 @@
+"""NFM head-to-head vs the reference -DTEST_NFM binary (VERDICT r2 #3).
+
+Reference ground truth (this host, /tmp/refprobe build patched to
+epoch=1 per Train() + CURVE_EPOCHS outer loop, PROBE_SEED set; NFM's
+threadpool is size 1 BY DESIGN — train_nfm_algo.h:25):
+
+  30 epochs, batch 50, lr 0.05, factor 10, hidden 32, L2 1e-3:
+    seed 7: 8.69 s wall   final train loss 42.08 (total)  acc 0.991
+    seed 1: 8.45 s        42.10  acc 0.990
+    seed 2: 8.65 s        45.53  acc 0.989
+  => ~287 ms/epoch single-core.
+
+Two reference forensics discovered building this (document, don't
+replicate):
+  - TEST_NFM never evaluates TEST data: NFM is absent from main.cpp's
+    Predict #if list (main.cpp:230), and FM_Predict would score an NFM
+    model with the FM formula + the train-set sumVX cache anyway
+    (fm_predict.cpp:21-33 — the same leak PARITY_CURVES.md proved for
+    FM, plus it ignores the deep tower entirely).
+  - the binary ABORTS at teardown on its own MemoryPool leak assertion
+    (memory_pool.h:35) after training completes.
+
+Ours: the kernel-engine streaming NFM (cli train --model nfm --engine
+kernel), matched hypers (factor 10, hidden (32,), sigmoid tower to
+match the reference's Fully_Conn_Layer<Sigmoid>, lr 0.05, L2 1e-3,
+batch 50, 30 epochs), seeds 0-2. Per-epoch mean loss is multiplied by
+the row count for comparability with the reference's printed TOTAL.
+
+    python benchmarks/bench_nfm_headtohead.py
+"""
+
+import json
+import time
+
+import numpy as np
+
+REF = {
+    "wall_s": [8.69, 8.45, 8.65],
+    "final_total_loss": [42.08, 42.10, 45.53],
+    "final_accuracy": [0.991, 0.990, 0.989],
+    "ms_per_epoch": 287.0,
+    "epochs": 30,
+}
+
+
+def main():
+    from lightctr_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import dataclasses
+
+    from lightctr_tpu.data import load_libffm
+    from lightctr_tpu.train.kernel_engine import train_nfm_kernel
+    from lightctr_tpu.train.loop import evaluate
+    from lightctr_tpu.models import nfm
+
+    ds = load_libffm("/root/reference/data/train_sparse.csv")
+    n_rows = len(ds)
+    out = {"rows": n_rows, "reference": REF}
+
+    runs = []
+    for seed in (0, 1, 2):
+        t0 = time.perf_counter()
+        params, losses = train_nfm_kernel(
+            ds, factor=10, hidden=(32,), learning_rate=0.05,
+            mlp_learning_rate=1e-3, l2=1e-3, epochs=30, batch_size=50,
+            seed=seed, exact=True, log=None, activation="sigmoid",
+        )
+        wall = time.perf_counter() - t0
+        cfg = nfm.NFMConfig(n_features=ds.n_features, factor=10,
+                            hidden=(32,), activation="sigmoid")
+        metrics = evaluate(nfm, cfg, params, ds, 250)
+        runs.append({
+            "seed": seed,
+            "wall_s": round(wall, 2),
+            "ms_per_epoch": round(wall / 30 * 1e3, 1),
+            "final_total_loss": round(losses[-1] * n_rows, 2),
+            "train_accuracy": round(metrics["accuracy"], 4),
+            "train_auc": round(metrics["auc"], 4),
+            "loss_curve_total": [round(l * n_rows, 2) for l in losses],
+        })
+        print("ours", {k: v for k, v in runs[-1].items()
+                       if k != "loss_curve_total"}, flush=True)
+
+    out["ours"] = runs
+    our_ms = np.mean([r["ms_per_epoch"] for r in runs])
+    out["our_ms_per_epoch"] = round(float(our_ms), 1)
+    out["speedup_per_epoch"] = round(REF["ms_per_epoch"] / our_ms, 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

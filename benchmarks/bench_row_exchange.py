@@ -1,19 +1,25 @@
 """Decide the production master-table exchange kernel (VERDICT r2 #1).
 
-Times, at the PS-scale regime (V=10M, W=32 packed, capacity 262144),
-the four ops/row_exchange.py Pallas kernels against the XLA
-gather/scatter they replace, under the two bench.py traffic shapes:
+Times, at the PS-scale regime (V=10M rounded to a chunk multiple, W=32
+packed, capacity 262144), ops/row_exchange.py's packed-lane one-hot
+sweep kernels against the XLA gather/scatter they replace, under the
+two bench.py traffic shapes:
 
   uniform — 260k unique rows/batch (worst case; every chunk touched)
   zipf1.2 — ~34k unique rows/batch (realistic CTR skew; few chunks)
 
-Both regimes reuse ONE compiled program per kernel (the shapes are
-capacity-static; idle slots repeat the last chunk id so their DMAs are
-skipped) — fresh Mosaic compiles over this tunnel cost minutes, so
-everything here is shape-shared and cache-enabled.
+Both regimes reuse ONE compiled program per kernel (shapes are
+capacity-static; idle slots repeat the last indices so their DMAs are
+skipped). Also times plan_row_exchange (it joins the fused step's
+in-graph planner) and spot-checks kernel outputs against the XLA ops
+on device.
 
-Also times plan_row_exchange (it joins the fused step's in-graph
-planner) and spot-checks kernel outputs against the XLA ops on device.
+History (earlier attempts this round, keep for the record): a per-row
+in-VMEM copy-loop sweep measured 75.8 / 36.6 ms pull/push at the
+uniform regime (~290 ns/row — Mosaic scalar loops + unaligned 32-lane
+slices), and per-row async-DMA kernels failed to lower (HBM slices
+must be 128-lane aligned). The 40 ms plan cost came from a 2-D-indexed
+XLA scatter, now linearised.
 
     python benchmarks/bench_row_exchange.py
 """
@@ -24,18 +30,10 @@ import time
 
 import numpy as np
 
-V, W = 10_000_000, 32
+CHUNKS, BROWS = (512, 2048), 16384
+V, W = 10_002_432, 32       # 10M rounded to a multiple of every CHUNKS
 CAPACITY = 262_144          # == plan.n_rows_pad at B=4096, L=64 uniform
-CHUNK, UMAX = 2048, 256
 IP = bool(int(os.environ.get("RX_INTERPRET", "0")))  # CPU smoke mode
-
-
-def timeit(fn, n=20):
-    fn()  # warm
-    t0 = time.perf_counter()
-    for _ in range(n):
-        fn()
-    return (time.perf_counter() - t0) / n * 1e3
 
 
 def main():
@@ -72,12 +70,15 @@ def main():
 
         # plan cost
         plan = jax.jit(lambda u, nu: rx.plan_row_exchange(
-            u, nu, n_features=V, capacity=CAPACITY, chunk=CHUNK,
-            u_max=UMAX))
-        cids, meta = plan(u, nu)
+            u, nu, n_features=V, capacity=CAPACITY, chunk=CHUNKS[0],
+            block_rows=BROWS))
+        cids, oblks, lstarts, codes = plan(u, nu)
         cids.block_until_ready()
-        out[f"{name}_plan_ms"] = round(timeit(
-            lambda: float(plan(u, nu)[0][0])), 3)
+        t0 = time.perf_counter()
+        for _ in range(20):
+            float(plan(u, nu)[0][0])
+        out[f"{name}_plan_ms"] = round(
+            (time.perf_counter() - t0) / 20 * 1e3, 3)
         print("plan", out[f"{name}_plan_ms"], flush=True)
 
         # XLA baselines
@@ -114,82 +115,66 @@ def main():
         del t2
         print("xla_push", out[f"{name}_xla_push_ms"], flush=True)
 
-        # sweep pull (+ device spot check vs XLA)
-        got = rx.pull_rows_sweep(
-            packed0, cids, meta, capacity=CAPACITY, chunk=CHUNK,
-            u_max=UMAX, unroll=8, interpret=IP)
-        want = packed0[u[:128]]
-        np.testing.assert_allclose(np.asarray(got[:128]), np.asarray(want))
-        acc = 0.0
+        for C in CHUNKS:
+            plan_c = jax.jit(lambda u, nu, C=C: rx.plan_row_exchange(
+                u, nu, n_features=V, capacity=CAPACITY, chunk=C,
+                block_rows=BROWS))
+            cids, oblks, lstarts, codes = plan_c(u, nu)
+            cids.block_until_ready()
+            for exact in (True, False):
+                tag = f"{name}_c{C}" + ("" if exact else "_fast")
 
-        @jax.jit
-        def sweep_pull_sum(packed, cids, meta, salt):
-            return jnp.sum(rx.pull_rows_sweep(
-                packed, cids, meta, capacity=CAPACITY, chunk=CHUNK,
-                u_max=UMAX, unroll=8, interpret=IP)) + salt
+                # pull (+ device spot check vs XLA on the exact path)
+                got = rx.pull_rows(
+                    packed0, cids, oblks, lstarts, codes,
+                    capacity=CAPACITY, chunk=C, block_rows=BROWS,
+                    exact=exact, interpret=IP)
+                want = packed0[u[:128]]
+                if exact:
+                    np.testing.assert_allclose(np.asarray(got[:128]),
+                                               np.asarray(want))
 
-        float(sweep_pull_sum(packed0, cids, meta, 0.0))
-        t0 = time.perf_counter()
-        for _ in range(20):
-            acc = sweep_pull_sum(packed0, cids, meta, acc)
-        float(acc)
-        out[f"{name}_sweep_pull_ms"] = round(
-            (time.perf_counter() - t0) / 20 * 1e3, 3)
-        print("sweep_pull", out[f"{name}_sweep_pull_ms"], flush=True)
+                @jax.jit
+                def pull_sum(packed, cids, oblks, lstarts, codes, salt,
+                             C=C, exact=exact):
+                    r = rx.pull_rows(
+                        packed, cids, oblks, lstarts, codes,
+                        capacity=CAPACITY, chunk=C, block_rows=BROWS,
+                        exact=exact, interpret=IP)
+                    live = jnp.arange(CAPACITY)[:, None] < nu
+                    return jnp.sum(jnp.where(live, r, 0.0)) + salt
 
-        # sweep push (donated chain)
-        tbl = packed0 + 0
-        tbl = rx.push_rows_sweep(tbl, rows_new, cids, meta,
-                                 n_features=V, chunk=CHUNK, u_max=UMAX,
-                                 interpret=IP)
-        float(tbl[0, 0])
-        t0 = time.perf_counter()
-        for _ in range(20):
-            tbl = rx.push_rows_sweep(tbl, rows_new, cids, meta,
-                                     n_features=V, chunk=CHUNK,
-                                     u_max=UMAX, interpret=IP)
-        float(tbl[0, 0])
-        out[f"{name}_sweep_push_ms"] = round(
-            (time.perf_counter() - t0) / 20 * 1e3, 3)
-        # spot check after the chain: touched rows hold rows_new
-        np.testing.assert_allclose(
-            np.asarray(tbl[u[:64]]), np.asarray(rows_new[:64]))
-        del tbl
-        print("sweep_push", out[f"{name}_sweep_push_ms"], flush=True)
+                acc = 0.0
+                float(pull_sum(packed0, cids, oblks, lstarts, codes, 0.0))
+                t0 = time.perf_counter()
+                for _ in range(20):
+                    acc = pull_sum(packed0, cids, oblks, lstarts, codes,
+                                   acc)
+                float(acc)
+                out[f"{tag}_pull_ms"] = round(
+                    (time.perf_counter() - t0) / 20 * 1e3, 3)
+                print(f"{tag} pull", out[f"{tag}_pull_ms"], flush=True)
 
-        # per-row DMA pull
-        got = rx.pull_rows_dma(packed0, u, nu, capacity=CAPACITY, interpret=IP)
-        np.testing.assert_allclose(np.asarray(got[:128]), np.asarray(want))
-
-        @jax.jit
-        def dma_pull_sum(packed, u, nu, salt):
-            return jnp.sum(rx.pull_rows_dma(
-                packed, u, nu, capacity=CAPACITY, interpret=IP)) + salt
-
-        acc = 0.0
-        float(dma_pull_sum(packed0, u, nu, 0.0))
-        t0 = time.perf_counter()
-        for _ in range(20):
-            acc = dma_pull_sum(packed0, u, nu, acc)
-        float(acc)
-        out[f"{name}_dma_pull_ms"] = round(
-            (time.perf_counter() - t0) / 20 * 1e3, 3)
-        print("dma_pull", out[f"{name}_dma_pull_ms"], flush=True)
-
-        # per-row DMA push
-        tbl = packed0 + 0
-        tbl = rx.push_rows_dma(tbl, rows_new, u, nu, interpret=IP)
-        float(tbl[0, 0])
-        t0 = time.perf_counter()
-        for _ in range(20):
-            tbl = rx.push_rows_dma(tbl, rows_new, u, nu, interpret=IP)
-        float(tbl[0, 0])
-        out[f"{name}_dma_push_ms"] = round(
-            (time.perf_counter() - t0) / 20 * 1e3, 3)
-        np.testing.assert_allclose(
-            np.asarray(tbl[u[:64]]), np.asarray(rows_new[:64]))
-        del tbl
-        print("dma_push", out[f"{name}_dma_push_ms"], flush=True)
+                # push (donated chain)
+                tbl = packed0 + 0
+                tbl = rx.push_rows(tbl, rows_new, cids, oblks, lstarts,
+                                   codes, chunk=C, block_rows=BROWS,
+                                   exact=exact, interpret=IP)
+                float(tbl[0, 0])
+                t0 = time.perf_counter()
+                for _ in range(20):
+                    tbl = rx.push_rows(tbl, rows_new, cids, oblks,
+                                       lstarts, codes, chunk=C,
+                                       block_rows=BROWS, exact=exact,
+                                       interpret=IP)
+                float(tbl[0, 0])
+                out[f"{tag}_push_ms"] = round(
+                    (time.perf_counter() - t0) / 20 * 1e3, 3)
+                if exact:
+                    np.testing.assert_allclose(
+                        np.asarray(tbl[u[:64]]), np.asarray(rows_new[:64]))
+                del tbl
+                print(f"{tag} push", out[f"{tag}_push_ms"], flush=True)
 
     print(json.dumps(out))
 

@@ -105,6 +105,13 @@ def main(argv=None):
     t.add_argument("--ckpt", default=None, help="checkpoint output path")
     t.add_argument("--mesh", default=None,
                    help="DATAxMODEL, e.g. 4x2; default single-device jit")
+    t.add_argument("--wire", default="f32",
+                   choices=["f32", "bf16", "fp16", "int8"],
+                   help="gradient/pull exchange precision on the mesh "
+                        "wire (parallel.collectives.wire_psum — the "
+                        "reference PS ran fp16 on every pull/push; int8 "
+                        "exchanges a per-shard fp32 scale alongside). "
+                        "Requires --mesh.")
     t.add_argument("--cpu-devices", type=int, default=0,
                    help="force N virtual CPU devices (mesh testing without a pod)")
     t.add_argument("--seed", type=int, default=0)
@@ -209,6 +216,9 @@ def main(argv=None):
             n_features = round_up_vocab(n_features)
         model, cfg = _build_model(args, n_features, train_ds.n_fields)
 
+        if args.wire != "f32" and not args.mesh:
+            raise SystemExit("--wire compresses the mesh exchange; it "
+                             "requires --mesh")
         if getattr(args, "stream", False):
             # --stream only gates the single-device kernel-FFM branch; in
             # every other combination it would be silently ignored and a
@@ -240,6 +250,7 @@ def main(argv=None):
 
                 d, m = (int(x) for x in args.mesh.split("x"))
                 kw["mesh"] = make_mesh(data=d, model=m)
+                kw["wire"] = args.wire
             if args.model == "fm":
                 kw.update(batch_size=args.batch_size,
                           wide_optimizer=("ftrl" if args.optimizer == "ftrl"
@@ -282,7 +293,26 @@ def main(argv=None):
             d, m = (int(x) for x in args.mesh.split("x"))
             mesh = make_mesh(data=d, model=m)
             state = init_sharded_state(model, cfg, tx, mesh, seed=args.seed)
-            step = make_sharded_train_step(model, cfg, tx, mesh)
+            if args.wire != "f32":
+                # explicit shard_map step with the gradient exchange at
+                # wire precision (the reference PS's fp16-on-every-
+                # pull/push, buffer.h:141-173, as a user-facing flag).
+                # Data-parallel: params replicate, so the model axis
+                # must be 1.
+                if m != 1:
+                    raise SystemExit(
+                        "--wire on the dense engine is data-parallel "
+                        f"(params replicated); use --mesh {d * m}x1 or "
+                        "--engine kernel for sharded tables + wire")
+                from .parallel.collectives import (
+                    WIRE_DTYPES,
+                    make_compressed_train_step,
+                )
+
+                step = make_compressed_train_step(
+                    model, cfg, tx, mesh, wire_dtype=WIRE_DTYPES[args.wire])
+            else:
+                step = make_sharded_train_step(model, cfg, tx, mesh)
             import numpy as np
 
             rng = np.random.default_rng(args.seed)

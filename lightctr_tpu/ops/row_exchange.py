@@ -6,39 +6,43 @@ V up to 10M+) and each step pulls the batch's unique rows into rank
 space and pushes updated rows back — the direct TPU replacement of the
 reference parameter server's hot pull/push loop
 (/root/reference/LightCTR/distribut/pull.h:111-134,
-paramserver.h:141-179). Measured on the v5e (PARITY.md,
-benchmarks/bench_gather_cost.py): XLA's gather/scatter against a
-10M-row table is per-ROW latency-bound — ~88 ns/row gather and
-~145 ns/row scatter (260k rows -> 22.8 + 37.8 ms), i.e. ~1.4 GB/s
-effective on a >800 GB/s HBM part. These kernels replace it with a
-bandwidth-shaped design:
+paramserver.h:141-179). XLA's gather/scatter against a 10M-row table is
+per-ROW latency-bound (measured on the v5e: 13.5 / 33.5 ms for 260k
+rows of width 32 — ~50/130 ns/row on a >800 GB/s HBM part; PARITY.md).
 
-  The batch's unique ids are SORTED (the planner dedups by argsort), so
-  the touched table rows group into ascending CHUNKS of C consecutive
-  rows. A grid over touched-chunk slots lets the Pallas pipeline stream
-  each [C, W] chunk HBM->VMEM (sequential DMAs at full bandwidth,
-  double-buffered against compute), and a short in-VMEM copy loop moves
-  the cnt_t touched rows between the chunk and the compact rank-space
-  buffer. Pull reads chunks; push copies chunk->chunk (aliased in
-  place) with touched rows overwritten, so untouched chunks are never
-  moved at all.
+Design (third, after two measured failures — see PARITY.md rejected
+variants: a per-row in-VMEM copy loop ran at ~290 ns/row because
+Mosaic scalar loops + unaligned 32-lane slices are slow, and per-row
+async DMAs cannot even lower — HBM slices must be 128-lane aligned):
 
-  Worst case (uniform ids) this sweeps the touched portion of the
-  table at HBM bandwidth; skewed (zipf) traffic touches few chunks and
-  the cost collapses with it. Idle padding slots repeat the previous
-  slot's chunk index, which the Pallas pipeline recognises as
-  "block unchanged" and skips the DMA.
+  PACKED-LANE ONE-HOT TOUCHED-CHUNK SWEEP. The master [V, W=32] is
+  viewed as [V/4, 128] (4 rows per native 128-lane line — a free
+  row-major reshape). The batch's unique ids are SORTED, so touched
+  rows group into ascending chunks of C consecutive rows; slots break
+  at (chunk change | every 128th rank), so each slot is <= 128 ranks
+  inside ONE chunk and ONE 128-aligned rank line. Per slot:
 
-A second kernel family (`*_dma`) issues one small async copy per ROW,
-pipelined NSLOT deep — the latency-hiding alternative when the batch
-touches few rows of many distinct chunks. Both families are
-numerics-identical to the XLA gather/scatter they replace
-(tests/test_row_exchange.py); benchmarks/bench_row_exchange.py decides
-which backs the production step.
+    pull: onehot[r, s] = (l4_r == s) over the [C/4, 128] chunk block —
+          ONE MXU matmul extracts the 128-lane packed lines, 4 masked
+          lane-selects peel each rank's 32-lane row, one aligned masked
+          store writes the rank line. No scalar loops.
+    push: the transpose matmul scatters lane-placed rows into the
+          chunk block: blk = blk*(1-mask) + onehot^T @ placed, written
+          back in place (aliased) — untouched chunks never move.
 
-Layout note: slot metadata rides in SMEM — chunk indices as scalar
-prefetch (they drive the BlockSpec index maps), per-slot
-[start, cnt, local row offsets...] as an SMEM-blocked meta row.
+  The Pallas pipeline streams chunk blocks HBM<->VMEM double-buffered
+  against the matmuls; worst case (uniform ids) the sweep runs at HBM
+  bandwidth + ~V/4 MXU cycles, and skewed (zipf) traffic collapses the
+  cost with the touched-chunk count. Idle padding slots repeat the
+  previous slot's indices, which the pipeline recognises as "block
+  unchanged" and skips the DMAs; their codes rows are all-sentinel so
+  they write nothing.
+
+Rank rows >= n_unique are UNSPECIFIED — callers mask (the streaming
+steps already mask grads by n_unique and zero the pad rank row).
+Numerics on the live rows are identical to the XLA gather/scatter they
+replace (tests/test_row_exchange.py; fp32-exact one-hot matmuls, the
+same discipline as ops/embedding_pallas.py).
 """
 
 from __future__ import annotations
@@ -50,384 +54,263 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+LINE = 128      # ranks per slot line == sublanes per vreg
+PACK = 4        # 32-lane rows per 128-lane packed line
 
-# ---------------------------------------------------------------------------
-# Planner
 
-
-def exchange_dims(n_features: int, capacity: int, chunk: int = 2048,
-                  u_max: int = 256) -> tuple[int, int, int]:
-    """Static (T_max, chunk, u_max) for plan_row_exchange: enough slots
-    for every touchable chunk plus the sub-slot splits of dense chunks
-    (a chunk holding more than u_max touched rows spans several slots)."""
+def exchange_dims(n_features: int, capacity: int, chunk: int = 2048) -> int:
+    """Static T_max for plan_row_exchange: a slot per touchable chunk
+    plus one per rank line (slots break at both boundaries)."""
     n_chunks = -(-n_features // chunk)
-    t_max = min(n_chunks, capacity) + -(-capacity // u_max)
-    return t_max, chunk, u_max
+    return min(n_chunks, capacity) + capacity // LINE + 1
 
 
 @functools.partial(jax.jit, static_argnames=("n_features", "capacity",
-                                             "chunk", "u_max"))
+                                             "chunk", "block_rows"))
 def plan_row_exchange(uids, n_unique, *, n_features: int, capacity: int,
-                      chunk: int = 2048, u_max: int = 256):
+                      chunk: int = 2048, block_rows: int = 16384):
     """Slot metadata for the sweep kernels, built in-graph (it runs
     inside the fused streaming step next to the batch dedup).
 
     uids: [capacity] int32, ascending over the first n_unique entries
     (the dedup planners' output; the tail may hold anything).
 
-    Returns (chunk_ids [T_max] int32, meta [T_max, 2 + u_max] int32)
-    where meta[t] = [start_t, cnt_t, local row offsets of the slot's
-    rows within its chunk...]. Invariants the kernels rely on:
-      - chunk_ids is non-decreasing; padding slots repeat the last real
-        chunk (so the pipeline skips their DMAs and an aliased push
-        never re-fetches an already-written chunk)
-      - slot ranges [start, start+cnt) tile [0, n_unique) contiguously
-        in order
+    Returns (chunk_ids [T_max], oblks [T_max], lstarts [T_max],
+    codes [T_max, 128, 2]) — all int32, the first three as scalar
+    prefetch (chunk_ids/oblks drive the BlockSpec index maps). Slot t
+    covers ranks within the 128-aligned line starting at lstarts[t];
+    codes[t, r] = (l4, k) locates rank lstarts[t]+r inside the packed
+    chunk block (line l4 = (uid - chunk_base)//4, lane window k =
+    (uid - chunk_base)%4), with l4 = chunk//4 (one past the block) as
+    the invalid sentinel. Invariants the kernels rely on:
+      - chunk_ids, oblks, lstarts are non-decreasing; padding slots
+        repeat the last real values with all-sentinel codes (the
+        pipeline skips their DMAs; an aliased push never re-fetches an
+        already-written chunk)
+      - each slot's ranks lie in ONE chunk and ONE rank line, and every
+        rank < n_unique belongs to exactly one slot
     """
-    t_max, _, _ = exchange_dims(n_features, capacity, chunk, u_max)
+    assert chunk % PACK == 0
+    assert n_features % chunk == 0, (
+        f"vocab {n_features} must be a multiple of chunk {chunk} (pad the "
+        f"master; a partial final chunk would make Pallas clamp the block "
+        f"start and shift every local offset)")
+    assert capacity % block_rows == 0 and block_rows % LINE == 0
+    t_max = exchange_dims(n_features, capacity, chunk)
+    c4 = chunk // PACK
     pos = jnp.arange(capacity, dtype=jnp.int32)
     valid = pos < n_unique
     n_chunks = -(-n_features // chunk)
-    cid = jnp.where(valid, uids.astype(jnp.int32) // chunk, n_chunks)
+    u32 = uids.astype(jnp.int32)
+    cid = jnp.where(valid, u32 // chunk, n_chunks)
 
     prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), cid[:-1]])
-    seg_start = jnp.logical_and(valid, cid != prev)
-    seg_id = jnp.cumsum(seg_start.astype(jnp.int32)) - 1  # [capacity]
+    brk = jnp.logical_and(valid,
+                          jnp.logical_or(cid != prev, pos % LINE == 0))
+    slot_of = jnp.cumsum(brk.astype(jnp.int32)) - 1
+    n_slots = jnp.sum(brk)
 
-    # first position and count of each segment (touched chunk)
-    seg_first = (
-        jnp.zeros((t_max,), jnp.int32)
-        .at[jnp.where(seg_start, seg_id, t_max)]
-        .set(pos, mode="drop")
-    )
-    seg_cnt = (
-        jnp.zeros((t_max,), jnp.int32)
-        .at[jnp.where(valid, seg_id, t_max)]
-        .add(1, mode="drop")
-    )
-
-    # split segments into sub-slots of <= u_max rows
-    sub_per_seg = -(-seg_cnt // u_max)                       # ceil
-    seg_base = jnp.cumsum(sub_per_seg) - sub_per_seg         # exclusive
-    within = pos - seg_first[seg_id]
-    slot = jnp.where(valid, seg_base[seg_id] + within // u_max, t_max)
-    n_slots = jnp.sum(sub_per_seg)
-
-    slot_chunk = (
-        jnp.zeros((t_max,), jnp.int32).at[slot].set(cid, mode="drop")
-    )
-    slot_start = (
-        jnp.zeros((t_max,), jnp.int32)
-        .at[slot].set(pos - within % u_max, mode="drop")
-    )
-    slot_cnt = (
-        jnp.zeros((t_max,), jnp.int32).at[slot].add(1, mode="drop")
-    )
-
-    # pad idle slots: repeat the last real chunk, zero-length range
+    # EVERYTHING below is gathers + one searchsorted — scatters into the
+    # slot/codes arrays measured 40 ms (2-D indexed) and 2.2 s (flat, at
+    # production scale) on the v5e: XLA TPU scatter is a serial per-
+    # element path, gathers vectorise.
     sidx = jnp.arange(t_max, dtype=jnp.int32)
-    last_chunk = slot_chunk[jnp.maximum(n_slots - 1, 0)]
-    chunk_ids = jnp.where(sidx < n_slots, slot_chunk, last_chunk)
-    starts = jnp.where(sidx < n_slots, slot_start, n_unique)
-    cnts = jnp.where(sidx < n_slots, slot_cnt, 0)
+    slot_sorted = jnp.where(valid, slot_of, jnp.int32(t_max))
+    found = jnp.searchsorted(slot_sorted, sidx).astype(jnp.int32)
+    real = sidx < n_slots
+    last_start = found[jnp.maximum(n_slots - 1, 0)]
+    starts = jnp.where(real, found, last_start)
+    chunk_ids = cid[jnp.minimum(starts, capacity - 1)]
+    lstarts = starts // LINE * LINE
+    oblks = lstarts // block_rows
 
-    locals_ = (
-        jnp.zeros((t_max, u_max), jnp.int32)
-        .at[slot, within % u_max]
-        .set(jnp.where(valid, uids.astype(jnp.int32) - cid * chunk, 0),
-             mode="drop")
-    )
-    meta = jnp.concatenate(
-        [starts[:, None], cnts[:, None], locals_], axis=1
-    )
-    return chunk_ids, meta
+    # codes[t, r] describes rank p = lstarts[t] + r iff that rank belongs
+    # to slot t — a [T_max, LINE] gather over the position arrays
+    p = jnp.minimum(lstarts[:, None] + jnp.arange(LINE, dtype=jnp.int32),
+                    capacity - 1)                       # [T_max, LINE]
+    mine = jnp.logical_and(slot_sorted[p] == sidx[:, None], real[:, None])
+    local = u32 - (u32 // chunk) * chunk
+    l4 = jnp.where(mine, local[p] // PACK, c4)
+    k = jnp.where(mine, local[p] % PACK, 0)
+    codes = jnp.stack([l4, k], axis=-1).astype(jnp.int32)  # [T_max,128,2]
+    return chunk_ids, oblks, lstarts, codes
 
 
-# ---------------------------------------------------------------------------
-# Sweep kernels (touched-chunk streaming)
 
 
-def _pull_sweep_kernel(chunk_ids_ref, meta_ref, blk_ref, out_ref,
-                       *, u_max: int, unroll: int):
+def _select_matmul(onehot, values, exact: bool, dims):
+    """One-hot selection matmul. A single MXU pass on this part runs the
+    f32 contraction as ONE bf16 pass (measured: 0.4%% relative error on
+    pulled values — benchmarks/bench_row_exchange.py provenance), and
+    Precision.HIGHEST costs six passes. Because the one-hot operand is
+    EXACTLY bf16 (0/1), splitting only the VALUE operand into three bf16
+    planes (8+8+8 = 24 mantissa bits) makes each DEFAULT pass exact and
+    their f32 sum reconstructs the f32 values bit-exactly — three passes
+    instead of six. exact=False keeps the single rounded pass."""
+    if not exact:
+        return jax.lax.dot_general(onehot, values, dims,
+                                   preferred_element_type=jnp.float32)
+    oh = onehot.astype(jnp.bfloat16)
+    acc = None
+    rest = values
+    for _ in range(3):
+        hi = rest.astype(jnp.bfloat16)
+        term = jax.lax.dot_general(oh, hi, dims,
+                                   preferred_element_type=jnp.float32)
+        acc = term if acc is None else acc + term
+        rest = rest - hi.astype(jnp.float32)
+    return acc
+
+
+def _pull_kernel(cids_ref, oblks_ref, lstarts_ref, codes_ref, blk4_ref,
+                 out_ref, *, c4: int, block_rows: int, exact: bool):
     t = pl.program_id(0)
-    start = meta_ref[0, 0]
-    cnt = meta_ref[0, 1]
-
-    @pl.when(t == 0)
-    def _():
-        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
-
+    lrel = lstarts_ref[t] - oblks_ref[t] * block_rows
+    codes = codes_ref[0]                                  # [128, 2]
+    l4 = codes[:, 0:1]                                    # [128, 1]
+    k = codes[:, 1:2]
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (LINE, c4), 1)
+    onehot = (l4 == iota_s).astype(jnp.float32)           # sentinel: 0 row
+    lines = _select_matmul(onehot, blk4_ref[...], exact,
+                           (((1,), (0,)), ((), ())))      # [128, 128]
     w = out_ref.shape[1]
-
-    def body(k, _):
-        base = k * unroll
-        rows = [blk_ref[pl.ds(meta_ref[0, 2 + base + u], 1), :]
-                for u in range(unroll)]
-        out_ref[pl.ds(start + base, unroll), :] = (
-            rows[0] if unroll == 1
-            else jnp.concatenate(rows, axis=0)
-        ).reshape(unroll, w)
-        return 0
-
-    # full unrolled groups, then the ragged tail one row at a time
-    n_full = cnt // unroll
-    jax.lax.fori_loop(0, n_full, body, 0)
-
-    def tail(i, _):
-        out_ref[pl.ds(start + i, 1), :] = (
-            blk_ref[pl.ds(meta_ref[0, 2 + i], 1), :]
-        )
-        return 0
-
-    jax.lax.fori_loop(n_full * unroll, cnt, tail, 0)
+    acc = jnp.zeros((LINE, w), jnp.float32)
+    for kk in range(PACK):
+        sel = (k == kk).astype(jnp.float32)
+        acc = acc + sel * lines[:, kk * w:(kk + 1) * w]
+    live = jnp.broadcast_to(l4 < c4, (LINE, w))
+    pltpu.store(out_ref.at[pl.ds(lrel, LINE), :], acc, mask=live)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("capacity", "chunk", "u_max", "unroll", "interpret"),
+    static_argnames=("capacity", "chunk", "block_rows", "exact",
+                     "interpret"),
 )
-def pull_rows_sweep(packed, chunk_ids, meta, *, capacity: int,
-                    chunk: int = 2048, u_max: int = 256, unroll: int = 8,
-                    interpret: bool = False):
-    """rows[r] = packed[uids[r]] for r < n_unique, 0 beyond — the "pull"
-    half of the PS cycle as a touched-chunk sweep. packed: [V, W] (W a
-    multiple the VPU likes — 16/32); chunk_ids/meta from
-    plan_row_exchange built with the same capacity."""
-    t_max, u = chunk_ids.shape[0], meta.shape[1] - 2
-    assert u == u_max
-    r_cap = capacity
-    v, w = packed.shape
-    kernel = functools.partial(_pull_sweep_kernel, u_max=u_max,
-                               unroll=unroll)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(t_max,),
-        in_specs=[
-            pl.BlockSpec((1, 2 + u_max), lambda t, c: (t, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((chunk, w), lambda t, c: (c[t], 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((r_cap, w), lambda t, c: (0, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((r_cap, w), packed.dtype),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=r_cap * w * 4 + 8 * chunk * w * 4 + 2**20,
-        ),
-        interpret=interpret,
-    )(chunk_ids, meta, packed)
-
-
-def _push_sweep_kernel(chunk_ids_ref, meta_ref, rows_ref, blk_in_ref,
-                       blk_out_ref, *, u_max: int):
-    t = pl.program_id(0)
-    start = meta_ref[0, 0]
-    cnt = meta_ref[0, 1]
-
-    # copy-through only on the FIRST slot of each chunk: later sub-slots
-    # of the same chunk keep the block resident (no re-fetch), and the
-    # copy would clobber their predecessors' row writes
-    prev_t = jnp.maximum(t - 1, 0)
-    is_first = jnp.logical_or(t == 0, chunk_ids_ref[t] != chunk_ids_ref[prev_t])
-
-    @pl.when(is_first)
-    def _():
-        blk_out_ref[...] = blk_in_ref[...]
-
-    def body(i, _):
-        blk_out_ref[pl.ds(meta_ref[0, 2 + i], 1), :] = (
-            rows_ref[pl.ds(start + i, 1), :]
-        )
-        return 0
-
-    jax.lax.fori_loop(0, cnt, body, 0)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_features", "chunk", "u_max", "interpret"),
-    donate_argnums=(0,),
-)
-def push_rows_sweep(packed, rows, chunk_ids, meta, *, n_features: int,
-                    chunk: int = 2048, u_max: int = 256,
-                    interpret: bool = False):
-    """packed[uids[r]] = rows[r] for r < n_unique — the "push" half
-    (scatter-set; the streaming steps write fully-updated rows, which
-    equals scatter-add because uids are unique). In-place: only touched
-    chunks move (read + write back with rows overwritten); untouched
-    chunks stay via input/output aliasing."""
+def pull_rows(packed, chunk_ids, oblks, lstarts, codes, *, capacity: int,
+              chunk: int = 2048, block_rows: int = 16384,
+              exact: bool = True, interpret: bool = False):
+    """rows[r] = packed[uids[r]] for r < n_unique (UNSPECIFIED beyond —
+    callers mask). packed: [V, W] fp32 with W*PACK == 128 (the kernel
+    views it as [V/4, 128]); slot metadata from plan_row_exchange built
+    with the same capacity/chunk/block_rows."""
     t_max = chunk_ids.shape[0]
     v, w = packed.shape
-    r_cap = rows.shape[0]
-    kernel = functools.partial(_push_sweep_kernel, u_max=u_max)
+    assert w * PACK == 128, f"width {w}: packed-lane kernels want W=32"
+    assert v % chunk == 0 and capacity % block_rows == 0
+    c4 = chunk // PACK
+    packed4 = packed.reshape(v // PACK, 128)
+    kernel = functools.partial(_pull_kernel, c4=c4, block_rows=block_rows,
+                               exact=exact)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(t_max,),
         in_specs=[
-            pl.BlockSpec((1, 2 + u_max), lambda t, c: (t, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((r_cap, w), lambda t, c: (0, 0),
+            pl.BlockSpec((1, LINE, 2), lambda t, c, o, ls: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, w), lambda t, c: (c[t], 0),
+            pl.BlockSpec((c4, 128), lambda t, c, o, ls: (c[t], 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((chunk, w), lambda t, c: (c[t], 0),
+        out_specs=pl.BlockSpec((block_rows, w),
+                               lambda t, c, o, ls: (o[t], 0),
                                memory_space=pltpu.VMEM),
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((v, w), packed.dtype),
-        input_output_aliases={3: 0},  # packed (after 1 scalar + 2 inputs)
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=r_cap * w * 4 + 8 * chunk * w * 4 + 2**20,
-        ),
-        interpret=interpret,
-    )(chunk_ids, meta, rows, packed)
-
-
-# ---------------------------------------------------------------------------
-# Per-row DMA kernels (latency-pipelined alternative)
-
-NSLOT = 16
-
-
-def _pull_dma_kernel(nuniq_ref, uids_ref, table_ref, out_ref, sems,
-                     *, group: int):
-    t = pl.program_id(0)
-    base = t * group
-    n_unique = nuniq_ref[0]
-
-    @pl.when(t == 0)
-    def _():
-        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
-
-    def dma(i):
-        uid = uids_ref[i]
-        return pltpu.make_async_copy(
-            table_ref.at[uid],
-            out_ref.at[base + i],
-            sems.at[jax.lax.rem(i, NSLOT)],
-        )
-
-    cnt = jnp.clip(n_unique - base, 0, group)
-
-    def drain(i, _):
-        dma(i).wait()
-        return 0
-
-    # issue with NSLOT outstanding: start i, and once i >= NSLOT wait
-    # for (i - NSLOT) before reusing its semaphore slot
-    def body(i, _):
-        @pl.when(i >= NSLOT)
-        def _():
-            dma(i - NSLOT).wait()
-        dma(i).start()
-        return 0
-
-    jax.lax.fori_loop(0, cnt, body, 0)
-    jax.lax.fori_loop(jnp.maximum(cnt - NSLOT, 0), cnt, drain, 0)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("capacity", "group", "interpret"))
-def pull_rows_dma(packed, uids, n_unique, *, capacity: int,
-                  group: int = 512, interpret: bool = False):
-    """rows[r] = packed[uids[r]] via one pipelined async copy per row
-    (NSLOT outstanding). uids beyond n_unique are skipped; those output
-    rows are zero."""
-    v, w = packed.shape
-    assert capacity % group == 0
-    kernel = functools.partial(_pull_dma_kernel, group=group)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(capacity // group,),
-        in_specs=[
-            pl.BlockSpec((group,), lambda t, n: (t,),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec((capacity, w), lambda t, n: (0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((NSLOT,))],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((capacity, w), packed.dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=capacity * w * 4 + 2**22,
+            vmem_limit_bytes=(3 * block_rows + 4 * c4) * 128 * 4 + 2**22,
         ),
         interpret=interpret,
-    )(jnp.asarray([n_unique], jnp.int32), uids.astype(jnp.int32), packed)
+    )(chunk_ids, oblks, lstarts, codes, packed4)
 
 
-def _push_dma_kernel(nuniq_ref, uids_ref, rows_ref, table_in_ref,
-                     table_out_ref, sems, *, group: int):
+def _push_kernel(cids_ref, oblks_ref, lstarts_ref, codes_ref, rows_ref,
+                 blk_in_ref, blk_out_ref, *, c4: int, block_rows: int,
+                 exact: bool):
     t = pl.program_id(0)
-    base = t * group
-    n_unique = nuniq_ref[0]
+    lrel = lstarts_ref[t] - oblks_ref[t] * block_rows
 
-    def dma(i):
-        uid = uids_ref[i]
-        return pltpu.make_async_copy(
-            rows_ref.at[base + i],
-            table_out_ref.at[uid],
-            sems.at[jax.lax.rem(i, NSLOT)],
-        )
+    # copy-through only on the FIRST slot of each chunk: later slots of
+    # the same chunk keep the block resident (no re-fetch), and the
+    # copy would clobber their predecessors' row writes
+    prev_t = jnp.maximum(t - 1, 0)
+    is_first = jnp.logical_or(t == 0,
+                              cids_ref[t] != cids_ref[prev_t])
 
-    cnt = jnp.clip(n_unique - base, 0, group)
+    @pl.when(is_first)
+    def _():
+        blk_out_ref[...] = blk_in_ref[...]
 
-    def body(i, _):
-        @pl.when(i >= NSLOT)
-        def _():
-            dma(i - NSLOT).wait()
-        dma(i).start()
-        return 0
-
-    def drain(i, _):
-        dma(i).wait()
-        return 0
-
-    jax.lax.fori_loop(0, cnt, body, 0)
-    jax.lax.fori_loop(jnp.maximum(cnt - NSLOT, 0), cnt, drain, 0)
+    codes = codes_ref[0]
+    l4 = codes[:, 0:1]
+    k = codes[:, 1:2]
+    w = rows_ref.shape[1]
+    rows128 = rows_ref[pl.ds(lrel, LINE), :]              # [128, w]
+    placed = jnp.concatenate(
+        [(k == kk).astype(jnp.float32) * rows128 for kk in range(PACK)],
+        axis=1,
+    )                                                     # [128, 128]
+    window = jnp.concatenate(
+        [jnp.broadcast_to((k == kk).astype(jnp.float32), (LINE, w))
+         for kk in range(PACK)],
+        axis=1,
+    )
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (LINE, c4), 1)
+    onehot = (l4 == iota_s).astype(jnp.float32)           # sentinel: 0 row
+    contract = (((0,), (0,)), ((), ()))
+    upd = _select_matmul(onehot, placed, exact, contract)
+    # 0/1 values are bf16-exact: one DEFAULT pass is already exact
+    msk = jax.lax.dot_general(onehot, window, contract,
+                              preferred_element_type=jnp.float32)
+    blk_out_ref[...] = blk_out_ref[...] * (1.0 - msk) + upd
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group", "interpret"), donate_argnums=(0,))
-def push_rows_dma(packed, rows, uids, n_unique, *, group: int = 512,
-                  interpret: bool = False):
-    """packed[uids[r]] = rows[r] via one pipelined async copy per row,
-    writing straight into the (aliased, donated) master in HBM."""
+    jax.jit,
+    static_argnames=("chunk", "block_rows", "exact", "interpret"),
+    donate_argnums=(0,),
+)
+def push_rows(packed, rows, chunk_ids, oblks, lstarts, codes, *,
+              chunk: int = 2048, block_rows: int = 16384,
+              exact: bool = True, interpret: bool = False):
+    """packed[uids[r]] = rows[r] for r < n_unique — scatter-set (the
+    streaming steps write fully-updated rows, which equals scatter-add
+    because uids are unique). In-place on the donated master: only
+    touched chunks are read + written back; untouched chunks stay via
+    input/output aliasing."""
+    t_max = chunk_ids.shape[0]
     v, w = packed.shape
-    capacity = rows.shape[0]
-    assert capacity % group == 0
-    kernel = functools.partial(_push_dma_kernel, group=group)
+    r_cap = rows.shape[0]
+    assert w * PACK == 128, f"width {w}: packed-lane kernels want W=32"
+    assert v % chunk == 0 and r_cap % block_rows == 0
+    c4 = chunk // PACK
+    packed4 = packed.reshape(v // PACK, 128)
+    kernel = functools.partial(_push_kernel, c4=c4, block_rows=block_rows,
+                               exact=exact)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(capacity // group,),
+        num_scalar_prefetch=3,
+        grid=(t_max,),
         in_specs=[
-            pl.BlockSpec((group,), lambda t, n: (t,),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, LINE, 2), lambda t, c, o, ls: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, w), lambda t, c, o, ls: (o[t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c4, 128), lambda t, c, o, ls: (c[t], 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((NSLOT,))],
+        out_specs=pl.BlockSpec((c4, 128), lambda t, c, o, ls: (c[t], 0),
+                               memory_space=pltpu.VMEM),
     )
-    return pl.pallas_call(
+    out4 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((v, w), packed.dtype),
-        input_output_aliases={3: 0},  # packed (after 1 scalar + 2 inputs)
+        out_shape=jax.ShapeDtypeStruct((v // PACK, 128), packed.dtype),
+        input_output_aliases={5: 0},  # packed4 (after 3 scalars + 2 ins)
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True,
-            vmem_limit_bytes=capacity * w * 4 + 2**22,
+            vmem_limit_bytes=(3 * block_rows + 8 * c4) * 128 * 4 + 2**22,
         ),
         interpret=interpret,
-    )(jnp.asarray([n_unique], jnp.int32), uids.astype(jnp.int32),
-      rows, packed)
+    )(chunk_ids, oblks, lstarts, codes, rows, packed4)
+    return out4.reshape(v, w)

@@ -20,6 +20,30 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 
+# CLI / config surface: --wire {f32,bf16,fp16,int8}
+WIRE_DTYPES = {
+    "f32": None,
+    "bf16": jnp.bfloat16,
+    "fp16": jnp.float16,
+    "int8": jnp.int8,
+}
+
+
+def wire_psum(x: jax.Array, axis: str, wire_dtype) -> jax.Array:
+    """psum with the payload cast to `wire_dtype` on the wire (None =
+    exact). The product-path entry point for compressed exchange inside
+    shard_map'd steps: the sharded_kernel streaming trainers route every
+    rank-space pull/grad psum through here when built with wire= —
+    replacing the reference PS's unconditional fp16 wire
+    (/root/reference/LightCTR/common/buffer.h:141-173,
+    paramserver.h:159-176). int8 exchanges a per-shard fp32 scale
+    alongside the quantised payload (all_gather + dequantised sum —
+    summing int8 directly would overflow and lose per-participant
+    scales), mirroring the reference's quantile int8 codec capability
+    (util/quantile_compress.h)."""
+    return _compress_decompress_psum(x, axis, wire_dtype)
+
+
 def _compress_decompress_psum(x: jax.Array, axis: str, wire_dtype) -> jax.Array:
     if wire_dtype is None:
         return jax.lax.psum(x, axis)

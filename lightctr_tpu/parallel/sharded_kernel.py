@@ -44,6 +44,7 @@ from ..models.fm_kernel import (
 )
 from ..models.nfm_kernel import KernelNFMConfig, StreamingNFMState
 from ..nn.mlp import mlp_apply
+from .collectives import WIRE_DTYPES, wire_psum
 from ..ops import fm_fused_pallas as K
 from ..ops.embedding_pallas import blocked_scatter_add
 
@@ -61,10 +62,15 @@ def shard_streaming_state(state: StreamingFMState, mesh: Mesh) -> StreamingFMSta
 
 
 def make_sharded_streaming_step(cfg: KernelFMConfig, capacity: int,
-                                b_pad: int, mesh: Mesh):
+                                b_pad: int, mesh: Mesh, wire: str = "f32"):
     """Sharded twin of fm_kernel.make_streaming_train_step: same batch
     dict (fm_kernel.plan_batch_on_device / plan_to_arrays), same losses to
-    fp tolerance (tests/test_sharded_kernel.py), tables sharded."""
+    fp tolerance (tests/test_sharded_kernel.py), tables sharded.
+
+    wire: {"f32","bf16","fp16","int8"} — precision of the rank-space
+    pull psum on the wire (collectives.wire_psum; the reference PS ran
+    fp16 on every pull/push, buffer.h:141-173). Scalars stay exact."""
+    wd = WIRE_DTYPES[wire]
     n_k = cfg.factor
     R = capacity
     interp = cfg.interpret
@@ -90,7 +96,7 @@ def make_sharded_streaming_step(cfg: KernelFMConfig, capacity: int,
         in_range = (local >= 0) & (local < rows_per_shard)
         safe = jnp.clip(local, 0, rows_per_shard - 1)
         rows = jnp.where(in_range[:, None], table_l[safe], 0.0)
-        rows = jax.lax.psum(rows, "model")      # [R, D] replicated
+        rows = wire_psum(rows, "model", wd)     # [R, D] replicated
         rows = rows.at[R - 1].set(0.0)
 
         # ---- replicated fused-kernel compute (identical on all shards)
@@ -183,7 +189,8 @@ def shard_plan(b: dict, mesh: Mesh) -> dict:
 
 
 def make_dp_sharded_streaming_step(cfg: KernelFMConfig, capacity: int,
-                                   b_pad: int, mesh: Mesh):
+                                   b_pad: int, mesh: Mesh,
+                                   wire: str = "f32"):
     """2-D (data x model) twin of make_sharded_streaming_step: the vocab
     table stays row-sharded over `model` (the PS shards), and the POSITION
     space — where the fused kernels' compute lives, one one-hot MXU matmul
@@ -204,9 +211,14 @@ def make_dp_sharded_streaming_step(cfg: KernelFMConfig, capacity: int,
     crosses the mesh. Positions must divide evenly: build plans with
     plan_batch_on_device(..., n_pad_multiple=mesh.shape["data"] * TILE).
     Losses match the single-device streaming step to fp32 tolerance
-    (tests/test_sharded_kernel.py)."""
+    (tests/test_sharded_kernel.py).
+
+    wire: precision of the three rank/batch-space psums on the wire
+    (pull over `model`; rowsum + rank grads over `data`) — see
+    collectives.wire_psum. Scalars stay exact."""
     from ..ops.embedding_pallas import TILE
 
+    wd = WIRE_DTYPES[wire]
     n_k = cfg.factor
     R = capacity
     interp = cfg.interpret
@@ -231,7 +243,7 @@ def make_dp_sharded_streaming_step(cfg: KernelFMConfig, capacity: int,
         in_range = (local >= 0) & (local < rows_per_shard)
         safe = jnp.clip(local, 0, rows_per_shard - 1)
         rows = jnp.where(in_range[:, None], table_l[safe], 0.0)
-        rows = jax.lax.psum(rows, "model")      # [R, D] replicated
+        rows = wire_psum(rows, "model", wd)     # [R, D] replicated
         rows = rows.at[R - 1].set(0.0)
 
         # ---- forward over this shard's position slice; psum the partial
@@ -240,7 +252,7 @@ def make_dp_sharded_streaming_step(cfg: KernelFMConfig, capacity: int,
             cfg, rows, b["ranks_sorted"], b["rowid_sorted"], b["xv_sorted"],
             b["tile_base"], b.get("tile_base_fine"), b_pad,
         )
-        rowsum = jax.lax.psum(rowsum, "data")   # [b_pad, S] replicated
+        rowsum = wire_psum(rowsum, "data", wd)  # [b_pad, S] replicated
         wx = rowsum[:, 0]
         s = rowsum[:, 1 : 1 + n_k]
         ss = rowsum[:, 1 + n_k : 1 + 2 * n_k]
@@ -263,7 +275,7 @@ def make_dp_sharded_streaming_step(cfg: KernelFMConfig, capacity: int,
             b["ranks_sorted"], b["tile_base"], b.get("tile_base_fine"),
             b_pad, R,
         )
-        grad_rows = jax.lax.psum(grad_rows, "data")   # [R, D] replicated
+        grad_rows = wire_psum(grad_rows, "data", wd)  # [R, D] replicated
         grad_rows = grad_rows + l2 * rows
 
         # ---- push: server-side Adagrad on owned rows only
@@ -334,15 +346,19 @@ def shard_streaming_nfm_state(state: StreamingNFMState,
 
 
 def make_sharded_streaming_nfm_step(cfg: KernelNFMConfig, capacity: int,
-                                    b_pad: int, mesh: Mesh):
+                                    b_pad: int, mesh: Mesh,
+                                    wire: str = "f32"):
     """Sharded twin of nfm_kernel.make_streaming_train_step: the same
     pull -> fused kernels -> row-sparse push cycle as the FM step, plus
     the XLA MLP tower on the pooled [B, K] tensor. The tower runs
     replicated on every shard (deterministic, so the Adam update keeps
     the replicas bit-identical — no psum needed); only the vocab table
     shards. Capability: the reference's NFM under its PS deployment
-    (train_nfm_algo.cpp:78-160 + paramserver.h:122-300)."""
+    (train_nfm_algo.cpp:78-160 + paramserver.h:122-300).
+    wire: pull-psum precision (collectives.wire_psum)."""
     from .. import optim
+
+    wd = WIRE_DTYPES[wire]
 
     n_k = cfg.factor
     R = capacity
@@ -368,7 +384,7 @@ def make_sharded_streaming_nfm_step(cfg: KernelNFMConfig, capacity: int,
         in_range = (local >= 0) & (local < rows_per_shard)
         safe = jnp.clip(local, 0, rows_per_shard - 1)
         rows = jnp.where(in_range[:, None], table_l[safe], 0.0)
-        rows = jax.lax.psum(rows, "model")
+        rows = wire_psum(rows, "model", wd)
         rows = rows.at[R - 1].set(0.0)
 
         rowsum, e_pos = kernel_forward(
@@ -474,7 +490,8 @@ def shard_streaming_ffm_state(state, mesh: Mesh):
 
 
 def make_sharded_streaming_ffm_step(cfg, capacity: int, mesh: Mesh,
-                                    fields_partition: bool = False):
+                                    fields_partition: bool = False,
+                                    wire: str = "f32"):
     """Sharded twin of ffm_kernel.make_streaming_train_step: the same
     owned-rows pull/psum -> replicated field-aggregation kernels (autodiff
     supplies the backward through the Pallas rank_lookup) -> owned-row
@@ -482,7 +499,8 @@ def make_sharded_streaming_ffm_step(cfg, capacity: int, mesh: Mesh,
     fields_partition: see ffm_kernel.make_streaming_train_step (rank-field
     self-term for datasets whose feature ids partition into fields).
     Capability: the reference FFM under its PS cluster
-    (train_ffm_algo.cpp:51-116 + paramserver.h:122-300)."""
+    (train_ffm_algo.cpp:51-116 + paramserver.h:122-300).
+    wire: pull-psum precision (collectives.wire_psum)."""
     from ..models.ffm_kernel import (
         StreamingFFMState,
         _logits_from_counts,
@@ -492,6 +510,7 @@ def make_sharded_streaming_ffm_step(cfg, capacity: int, mesh: Mesh,
         count_matrix_rows,
     )
 
+    wd = WIRE_DTYPES[wire]
     R = capacity
     M = mesh.shape["model"]
     V = cfg.n_features
@@ -513,7 +532,7 @@ def make_sharded_streaming_ffm_step(cfg, capacity: int, mesh: Mesh,
         in_range = (local >= 0) & (local < rows_per_shard)
         safe = jnp.clip(local, 0, rows_per_shard - 1)
         rows = jnp.where(in_range[:, None], table_l[safe], 0.0)
-        rows = jax.lax.psum(rows, "model")
+        rows = wire_psum(rows, "model", wd)
         rows = rows.at[R - 1].set(0.0)
 
         n_valid = jnp.maximum(jnp.sum(b["row_mask"]), 1.0)
@@ -605,7 +624,8 @@ def make_sharded_streaming_ffm_step(cfg, capacity: int, mesh: Mesh,
     return step
 
 
-def make_xmat_sharded_train_step(cfg: KernelFMConfig, plan, mesh: Mesh):
+def make_xmat_sharded_train_step(cfg: KernelFMConfig, plan, mesh: Mesh,
+                                 wire: str = "f32"):
     """Data-sharded twin of the full-batch design-matrix (xmat) FM step —
     the headline 0.14 ms step scaled over the `data` mesh axis (the
     reference's Ring-AllReduce regime, ring_collect.h:48-72, on its
@@ -622,7 +642,9 @@ def make_xmat_sharded_train_step(cfg: KernelFMConfig, plan, mesh: Mesh):
 
     Returns a step carrying `_stepfn`/`_consts` so fm_kernel.make_multi_step
     threads the sharded count matrices through the jit boundary as runtime
-    arguments (not HLO literals)."""
+    arguments (not HLO literals). wire: grad-psum precision
+    (collectives.wire_psum; loss/g0 scalars stay exact)."""
+    wd = WIRE_DTYPES[wire]
     n_k = cfg.factor
     R = plan.n_rows_pad
     b_pad = plan.b_pad
@@ -665,7 +687,9 @@ def make_xmat_sharded_train_step(cfg: KernelFMConfig, plan, mesh: Mesh):
             rows, w0
         )
         # ONE rank-space psum glues the batch slices back together
-        loss, grad_rows, g0 = jax.lax.psum((loss, grad_rows, g0), "data")
+        # (grads at wire precision; the scalars are negligible bytes)
+        grad_rows = wire_psum(grad_rows, "data", wd)
+        loss, g0 = jax.lax.psum((loss, g0), "data")
 
         grad_rows = grad_rows + l2 * rows
         accum = accum + grad_rows * grad_rows
@@ -709,7 +733,8 @@ def make_xmat_sharded_train_step(cfg: KernelFMConfig, plan, mesh: Mesh):
     return step
 
 
-def make_grouped_sharded_ffm_step(cfg, gplan, mesh: Mesh):
+def make_grouped_sharded_ffm_step(cfg, gplan, mesh: Mesh,
+                                  wire: str = "f32"):
     """Data-sharded twin of the grouped field-blocked FFM step
     (models/ffm_kernel.make_train_step_grouped) — the FFM headline
     full-batch trainer scaled over the `data` mesh axis, same regime as
@@ -719,13 +744,15 @@ def make_grouped_sharded_ffm_step(cfg, gplan, mesh: Mesh):
     (loss, g_table, g_w0) makes the Adagrad update bit-identical on
     every shard. Reference capability: full-batch FFM training
     (train_ffm_algo.cpp:51-116) under the Ring-AllReduce regime
-    (ring_collect.h:48-72)."""
+    (ring_collect.h:48-72). wire: grad-psum precision
+    (collectives.wire_psum)."""
     from ..models.ffm_kernel import (
         KernelFFMState,
         _logits_from_counts_grouped,
         count_matrices_grouped,
     )
 
+    wd = WIRE_DTYPES[wire]
     B = gplan.labels.shape[0]
     Dd = mesh.shape["data"]
     assert B % Dd == 0, (B, Dd)
@@ -773,7 +800,8 @@ def make_grouped_sharded_ffm_step(cfg, gplan, mesh: Mesh):
         loss, (g_table, g_w0) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
             table, w0
         )
-        loss, g_table, g_w0 = jax.lax.psum((loss, g_table, g_w0), "data")
+        g_table = wire_psum(g_table, "data", wd)
+        loss, g_w0 = jax.lax.psum((loss, g_w0), "data")
         g_table = g_table + l2 * table
         accum = accum + g_table * g_table
         table = table - lr * g_table / (jnp.sqrt(accum) + 1e-7)

@@ -72,7 +72,7 @@ def _streaming_dims(ds, batch_size: int, fine: bool = False):
 def train_fm_kernel(ds, factor=8, learning_rate=0.05, l2=0.0, epochs=5,
                     batch_size=256, seed=0, exact=True, log=print,
                     wide_optimizer="adagrad", fine=True, xmat=True,
-                    mesh=None):
+                    mesh=None, wire="f32"):
     """-> (params dict {w0,w,v}, per-epoch mean losses).
 
     Full-batch runs the design-matrix step by default (xmat=True: every
@@ -90,8 +90,10 @@ def train_fm_kernel(ds, factor=8, learning_rate=0.05, l2=0.0, epochs=5,
         return _train_fm_kernel_sharded(
             ds, mesh, factor=factor, learning_rate=learning_rate, l2=l2,
             epochs=epochs, batch_size=batch_size, seed=seed, exact=exact,
-            log=log,
+            log=log, wire=wire,
         )
+    assert wire == "f32", "wire compression applies to sharded (--mesh) runs"
+
     rng = jax.random.PRNGKey(seed)
     epoch_losses = []
 
@@ -165,7 +167,7 @@ def train_fm_kernel(ds, factor=8, learning_rate=0.05, l2=0.0, epochs=5,
 
 
 def _train_fm_kernel_sharded(ds, mesh, factor, learning_rate, l2, epochs,
-                             batch_size, seed, exact, log):
+                             batch_size, seed, exact, log, wire="f32"):
     """Sharded kernel FM. A DATA-only mesh (--mesh Nx1) + full batch
     runs the headline design-matrix step sharded over the batch rows
     (make_xmat_sharded_train_step — the reference's full-batch
@@ -205,7 +207,7 @@ def _train_fm_kernel_sharded(ds, mesh, factor, learning_rate, l2, epochs,
         )
         assert plan.b_pad == b_pad_full, (plan.b_pad, b_pad_full)
         state = fm_kernel.init(jax.random.PRNGKey(seed), cfg, plan)
-        step = make_xmat_sharded_train_step(cfg, plan, mesh)
+        step = make_xmat_sharded_train_step(cfg, plan, mesh, wire=wire)
         state, losses = fm_kernel.make_multi_step(step, epochs)(state)
         epoch_losses = [float(l) for l in np.asarray(losses)]
         if log:
@@ -230,10 +232,12 @@ def _train_fm_kernel_sharded(ds, mesh, factor, learning_rate, l2, epochs,
         fm_kernel.streaming_init(jax.random.PRNGKey(seed), cfg), mesh
     )
     if Dd > 1:
-        step = make_dp_sharded_streaming_step(cfg, capacity, b_pad, mesh)
+        step = make_dp_sharded_streaming_step(cfg, capacity, b_pad,
+                                              mesh, wire=wire)
         n_pad_multiple = Dd * TILE
     else:
-        step = make_sharded_streaming_step(cfg, capacity, b_pad, mesh)
+        step = make_sharded_streaming_step(cfg, capacity, b_pad, mesh,
+                                           wire=wire)
         n_pad_multiple = None
 
     np_rng = np.random.default_rng(seed)
@@ -270,7 +274,8 @@ def _train_fm_kernel_sharded(ds, mesh, factor, learning_rate, l2, epochs,
 def train_nfm_kernel(ds, factor=8, hidden=(64,), learning_rate=0.05,
                      mlp_learning_rate=1e-3, l2=0.0, epochs=5,
                      batch_size=256, seed=0, exact=True, log=print,
-                     fine=True, xmat=True, mesh=None):
+                     fine=True, xmat=True, mesh=None, wire="f32",
+                     activation="relu"):
     """-> (params dict {w0,w,v,mlp} for models/nfm, per-epoch losses).
 
     Full-batch (batch_size >= rows) runs the design-matrix step
@@ -282,11 +287,14 @@ def train_nfm_kernel(ds, factor=8, hidden=(64,), learning_rate=0.05,
             ds, mesh, factor=factor, hidden=tuple(hidden),
             learning_rate=learning_rate, mlp_learning_rate=mlp_learning_rate,
             l2=l2, epochs=epochs, batch_size=batch_size, seed=seed,
-            exact=exact, log=log,
+            exact=exact, log=log, wire=wire,
         )
+    assert wire == "f32", "wire compression applies to sharded (--mesh) runs"
+
     full_batch = batch_size >= len(ds)
     cfg = nfm_kernel.KernelNFMConfig(
         n_features=ds.n_features, factor=factor, hidden=tuple(hidden),
+        activation=activation,
         learning_rate=learning_rate, mlp_learning_rate=mlp_learning_rate,
         l2=l2, exact=exact, interpret=_interpret(),
         fine=fine and not (full_batch and xmat), xmat=xmat and full_batch,
@@ -337,7 +345,7 @@ def train_nfm_kernel(ds, factor=8, hidden=(64,), learning_rate=0.05,
 
 def _train_nfm_kernel_sharded(ds, mesh, factor, hidden, learning_rate,
                               mlp_learning_rate, l2, epochs, batch_size,
-                              seed, exact, log):
+                              seed, exact, log, wire="f32"):
     """Streaming kernel NFM over the `model` mesh axis: table pull/push
     sharded, MLP tower replicated (deterministic lockstep Adam —
     parallel/sharded_kernel.make_sharded_streaming_nfm_step)."""
@@ -362,7 +370,8 @@ def _train_nfm_kernel_sharded(ds, mesh, factor, hidden, learning_rate,
     state = shard_streaming_nfm_state(
         nfm_kernel.streaming_init(jax.random.PRNGKey(seed), cfg), mesh
     )
-    step = make_sharded_streaming_nfm_step(cfg, capacity, b_pad, mesh)
+    step = make_sharded_streaming_nfm_step(cfg, capacity, b_pad,
+                                           mesh, wire=wire)
     np_rng = np.random.default_rng(seed)
 
     def place(b):
@@ -390,7 +399,7 @@ def _train_nfm_kernel_sharded(ds, mesh, factor, hidden, learning_rate,
 
 def train_ffm_kernel(ds, factor=4, learning_rate=0.05, l2=0.0, epochs=5,
                      seed=0, exact=True, agg=True, log=print, mesh=None,
-                     batch_size=None):
+                     batch_size=None, wire="f32"):
     """Kernel FFM -> (params dict {w0,w,v}, per-epoch losses).
 
     Full-batch by default (the reference FFM regime) on the count-matrix
@@ -411,7 +420,10 @@ def train_ffm_kernel(ds, factor=4, learning_rate=0.05, l2=0.0, epochs=5,
         return _train_ffm_kernel_sharded(
             ds, mesh, factor=factor, learning_rate=learning_rate, l2=l2,
             epochs=epochs, seed=seed, exact=exact, agg=agg, log=log,
+            wire=wire,
         )
+    assert wire == "f32", "wire compression applies to sharded (--mesh) runs"
+
     if batch_size is not None and batch_size < len(ds):
         return _train_ffm_kernel_streaming(
             ds, factor=factor, learning_rate=learning_rate, l2=l2,
@@ -536,7 +548,7 @@ def _train_ffm_kernel_streaming(ds, factor, learning_rate, l2, epochs,
 
 
 def _train_ffm_kernel_sharded(ds, mesh, factor, learning_rate, l2, epochs,
-                              seed, exact, agg, log):
+                              seed, exact, agg, log, wire="f32"):
     """Sharded FFM: a DATA-only mesh (--mesh Nx1) runs the grouped
     active-width full-batch step sharded over the batch rows (the
     0.6 ms headline trainer scaled out, make_grouped_sharded_ffm_step);
@@ -576,7 +588,8 @@ def _train_ffm_kernel_sharded(ds, mesh, factor, learning_rate, l2, epochs,
         if ok:
             state = ffm_kernel.init_grouped(jax.random.PRNGKey(seed), cfg,
                                             gplan)
-            step = make_grouped_sharded_ffm_step(cfg, gplan, mesh)
+            step = make_grouped_sharded_ffm_step(cfg, gplan, mesh,
+                                                 wire=wire)
             state, losses = fm_kernel.make_multi_step(step, epochs)(state)
             epoch_losses = [float(l) for l in np.asarray(losses)]
             if log:
@@ -616,7 +629,8 @@ def _train_ffm_kernel_sharded(ds, mesh, factor, learning_rate, l2, epochs,
     # rank-field self-term when the dataset's ids partition into fields
     # (plan_batch detected it on the full batch — a dataset-level property)
     step = make_sharded_streaming_ffm_step(
-        cfg, capacity, mesh, fields_partition=plan.rank_field is not None
+        cfg, capacity, mesh, fields_partition=plan.rank_field is not None,
+        wire=wire,
     )
     arrays = ffm_kernel.plan_to_arrays(plan, capacity)
     epoch_losses = []

@@ -2,7 +2,7 @@
 
 The kernels must be numerics-IDENTICAL to the XLA primitives they
 replace in the streaming steps (fm_kernel.make_streaming_train_step_*):
-  pull:  rows = packed[uids]            (zero beyond n_unique)
+  pull:  rows = packed[uids]      (rows >= n_unique UNSPECIFIED)
   push:  packed.at[uids[:n]].set(rows[:n])
 Interpret mode on the CPU backend; the TPU timings live in
 benchmarks/bench_row_exchange.py.
@@ -15,7 +15,7 @@ import pytest
 from lightctr_tpu.ops import row_exchange as rx
 
 
-def _mk(v=5000, w=32, n_unique=700, capacity=1024, seed=0, skew=False):
+def _mk(v=5120, w=32, n_unique=700, capacity=1024, seed=0, skew=False):
     rng = np.random.default_rng(seed)
     packed = rng.normal(size=(v, w)).astype(np.float32)
     if skew:
@@ -31,86 +31,112 @@ def _mk(v=5000, w=32, n_unique=700, capacity=1024, seed=0, skew=False):
     return packed, uids_pad, n_unique, rows
 
 
-CHUNK, UMAX = 256, 64
+CHUNK, BROWS = 256, 256
+
+
+def _plan(uids, n, v, cap=1024):
+    return rx.plan_row_exchange(
+        jnp.asarray(uids), jnp.int32(n), n_features=v, capacity=cap,
+        chunk=CHUNK, block_rows=BROWS)
 
 
 @pytest.mark.parametrize("skew", [False, True])
-@pytest.mark.parametrize("unroll", [1, 8])
-def test_pull_sweep_matches_gather(skew, unroll):
+def test_pull_matches_gather(skew):
     packed, uids, n, rows = _mk(skew=skew)
-    cids, meta = rx.plan_row_exchange(
-        jnp.asarray(uids), jnp.int32(n), n_features=packed.shape[0],
-        capacity=1024, chunk=CHUNK, u_max=UMAX)
-    out = rx.pull_rows_sweep(
-        jnp.asarray(packed), cids, meta, capacity=1024, chunk=CHUNK,
-        u_max=UMAX, unroll=unroll, interpret=True)
+    cids, oblks, lstarts, codes = _plan(uids, n, packed.shape[0])
+    out = rx.pull_rows(
+        jnp.asarray(packed), cids, oblks, lstarts, codes, capacity=1024,
+        chunk=CHUNK, block_rows=BROWS, interpret=True)
+    # rows beyond n_unique are UNSPECIFIED — compare the live prefix
     np.testing.assert_array_equal(np.asarray(out)[:n], packed[uids[:n]])
-    np.testing.assert_array_equal(np.asarray(out)[n:], 0.0)
 
 
 @pytest.mark.parametrize("skew", [False, True])
-def test_push_sweep_matches_scatter(skew):
+def test_push_matches_scatter(skew):
     packed, uids, n, rows = _mk(skew=skew)
-    cids, meta = rx.plan_row_exchange(
-        jnp.asarray(uids), jnp.int32(n), n_features=packed.shape[0],
-        capacity=1024, chunk=CHUNK, u_max=UMAX)
-    out = rx.push_rows_sweep(
-        jnp.asarray(packed.copy()), jnp.asarray(rows), cids, meta,
-        n_features=packed.shape[0], chunk=CHUNK, u_max=UMAX,
-        interpret=True)
+    cids, oblks, lstarts, codes = _plan(uids, n, packed.shape[0])
+    out = rx.push_rows(
+        jnp.asarray(packed.copy()), jnp.asarray(rows), cids, oblks,
+        lstarts, codes, chunk=CHUNK, block_rows=BROWS, interpret=True)
     want = packed.copy()
     want[uids[:n]] = rows[:n]
     np.testing.assert_array_equal(np.asarray(out), want)
 
 
-def test_pull_dma_matches_gather():
+def test_pull_fast_mode_close():
+    """exact=False runs the selection as ONE bf16 MXU pass — values
+    round to bf16 (~0.4%); the fast path for bandwidth-bound serving."""
     packed, uids, n, rows = _mk()
-    out = rx.pull_rows_dma(
-        jnp.asarray(packed), jnp.asarray(uids), jnp.int32(n),
-        capacity=1024, group=128, interpret=True)
-    np.testing.assert_array_equal(np.asarray(out)[:n], packed[uids[:n]])
-    np.testing.assert_array_equal(np.asarray(out)[n:], 0.0)
+    cids, oblks, lstarts, codes = _plan(uids, n, packed.shape[0])
+    out = rx.pull_rows(
+        jnp.asarray(packed), cids, oblks, lstarts, codes, capacity=1024,
+        chunk=CHUNK, block_rows=BROWS, exact=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(out)[:n], packed[uids[:n]],
+                               rtol=1e-2, atol=1e-2)
 
 
-def test_push_dma_matches_scatter():
-    packed, uids, n, rows = _mk()
-    out = rx.push_rows_dma(
-        jnp.asarray(packed.copy()), jnp.asarray(rows), jnp.asarray(uids),
-        jnp.int32(n), group=128, interpret=True)
-    want = packed.copy()
-    want[uids[:n]] = rows[:n]
-    np.testing.assert_array_equal(np.asarray(out), want)
-
-
-def test_plan_row_exchange_invariants():
-    """Slot ranges tile [0, n_unique) contiguously; chunk ids are
-    non-decreasing; dense chunks split into <= u_max sub-slots; padding
-    repeats the last real chunk with zero-length ranges."""
+def test_push_dense_chunk_multi_slot():
+    """A chunk denser than one rank line forces several slots on the
+    same chunk — the copy-through-once logic must not clobber earlier
+    sub-slot writes."""
     v, cap = 4096, 512
     rng = np.random.default_rng(3)
-    # force one dense chunk: 100 ids inside chunk 2, plus scattered rest
-    dense = 2 * CHUNK + rng.choice(CHUNK, 100, replace=False)
+    dense = 2 * CHUNK + rng.choice(CHUNK, 200, replace=False)
     rest = rng.choice(v - 3 * CHUNK, 60, replace=False) + 3 * CHUNK
     uids = np.sort(np.concatenate([dense, rest])).astype(np.int32)
     n = len(uids)
     pad = np.zeros(cap, np.int32)
     pad[:n] = uids
-    cids, meta = rx.plan_row_exchange(
-        jnp.asarray(pad), jnp.int32(n), n_features=v, capacity=cap,
-        chunk=CHUNK, u_max=UMAX)
-    cids, meta = np.asarray(cids), np.asarray(meta)
-    starts, cnts, locals_ = meta[:, 0], meta[:, 1], meta[:, 2:]
+    packed = rng.normal(size=(v, 32)).astype(np.float32)
+    rows = rng.normal(size=(cap, 32)).astype(np.float32)
+    cids, oblks, lstarts, codes = _plan(pad, n, v, cap)
+    out = rx.push_rows(
+        jnp.asarray(packed.copy()), jnp.asarray(rows), cids, oblks,
+        lstarts, codes, chunk=CHUNK, block_rows=BROWS, interpret=True)
+    want = packed.copy()
+    want[uids] = rows[:n]
+    np.testing.assert_array_equal(np.asarray(out), want)
+    got = rx.pull_rows(
+        jnp.asarray(packed), cids, oblks, lstarts, codes, capacity=cap,
+        chunk=CHUNK, block_rows=BROWS, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got)[:n], packed[uids])
+
+
+def test_plan_row_exchange_invariants():
+    """Slots: non-decreasing chunk/oblk/lstart; every live rank coded in
+    exactly one slot at its line offset; sentinel everywhere else."""
+    v, cap = 4096, 512
+    rng = np.random.default_rng(3)
+    dense = 2 * CHUNK + rng.choice(CHUNK, 200, replace=False)
+    rest = rng.choice(v - 3 * CHUNK, 60, replace=False) + 3 * CHUNK
+    uids = np.sort(np.concatenate([dense, rest])).astype(np.int32)
+    n = len(uids)
+    pad = np.zeros(cap, np.int32)
+    pad[:n] = uids
+    cids, oblks, lstarts, codes = _plan(pad, n, v, cap)
+    cids, oblks, lstarts = map(np.asarray, (cids, oblks, lstarts))
+    codes = np.asarray(codes)
+    c4 = CHUNK // rx.PACK
 
     assert (np.diff(cids) >= 0).all()
-    assert (cnts <= UMAX).all()
-    # ranges tile [0, n)
-    covered = []
-    for s, c in zip(starts, cnts):
-        covered.extend(range(s, s + c))
-    assert covered == list(range(n))
-    # locals point at the right rows
+    assert (np.diff(oblks) >= 0).all()
+    assert (np.diff(lstarts) >= 0).all()
+    assert (oblks == lstarts // BROWS).all()
+    assert (lstarts % rx.LINE == 0).all()
+
+    # reconstruct: every rank < n must be coded exactly once, correctly
+    seen = np.zeros(n, int)
     for t in range(len(cids)):
-        for j in range(cnts[t]):
-            assert cids[t] * CHUNK + locals_[t, j] == uids[starts[t] + j]
-    # the dense chunk split into ceil(100/64)=2 slots on the same chunk
-    assert (cids[:np.sum(cnts > 0)] == 2).sum() == 2
+        for r in range(rx.LINE):
+            l4, k = codes[t, r]
+            if l4 == c4:
+                continue
+            rank = lstarts[t] + r
+            assert rank < n
+            assert cids[t] * CHUNK + l4 * rx.PACK + k == uids[rank]
+            seen[rank] += 1
+    # padding slots are all-sentinel, so each live rank coded ONCE
+    assert (seen == 1).all()
+    # the dense chunk (200 ids) must span >= 2 slots on the same chunk
+    real = cids[: int(np.sum([ (codes[t,:,0] != c4).any() for t in range(len(cids)) ]))]
+    assert (real == 2).sum() >= 2
