@@ -343,6 +343,70 @@ def _xmat_rank_grads(cfg: KernelFMConfig, rows, w0, b, b_pad: int, R: int):
     return loss, grad_rows, g0
 
 
+def make_streaming_epoch_scan(fused_step):
+    """Fold a FUSED streaming step over a STACK of minibatches in ONE
+    dispatched lax.scan: run(state, *stacked[S, ...]) ->
+    (state, losses[S]). The small-dataset streaming regime (e.g. the
+    reference NFM's 20 batches/epoch over 1000 rows) otherwise pays
+    ~0.4 ms tunnel dispatch + fixed step overhead PER BATCH — measured
+    11 ms/step vs this scan's one dispatch per epoch
+    (benchmarks/bench_nfm_headtohead.py provenance). Works for any
+    fused one-dispatch step in this family (fm/nfm/ffm): they are pure
+    (state, *batch_arrays, hyper) -> (state, loss) maps."""
+    raw = fused_step.__wrapped__
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(state, *stacked, hyper=None):
+        def body(s, xs):
+            s2, loss = raw(s, *xs, hyper)
+            return s2, loss
+
+        return jax.lax.scan(body, state, stacked)
+
+    return run
+
+
+def make_streaming_run(fused_step, n_rows_pad: int, batch_size: int,
+                       epochs: int):
+    """The WHOLE minibatch-streaming run as ONE compiled program:
+    dataset arrays live on device once, each epoch draws a fresh
+    device-side permutation (jax.random.permutation in-graph), an inner
+    lax.scan streams the fused one-dispatch step over the batches, an
+    outer scan runs the epochs — one dispatch and one readback for the
+    entire run. Per-epoch dispatch over the tunneled backend measured
+    ~140 ms/epoch even with the batches pre-stacked (the host->device
+    transfer of the reshuffled stack dominates); this is the
+    gmm.fit_scan shape applied to the streaming trainers.
+
+    run(state, arrays, rng) -> (state, epoch_mean_losses[epochs]);
+    arrays: per-row tensors ([N, L] ids/vals/mask[/fields] + [N] labels,
+    row_mask) with N == n_rows_pad (pad rows carry row_mask 0)."""
+    raw = fused_step.__wrapped__
+    n_batches = n_rows_pad // batch_size
+    assert n_batches * batch_size == n_rows_pad
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(state, arrays, rng):
+        def epoch_body(s, erng):
+            perm = jax.random.permutation(erng, n_rows_pad)
+
+            def batch_body(s, i):
+                idx = jax.lax.dynamic_slice_in_dim(
+                    perm, i * batch_size, batch_size)
+                xs = tuple(a[idx] for a in arrays)
+                s2, loss = raw(s, *xs, None)
+                return s2, loss
+
+            s, losses = jax.lax.scan(batch_body, s,
+                                     jnp.arange(n_batches))
+            return s, jnp.mean(losses)
+
+        rngs = jax.random.split(rng, epochs)
+        return jax.lax.scan(epoch_body, state, rngs)
+
+    return run
+
+
 def make_multi_step(step, n_steps: int):
     """Fold n_steps train-step calls into ONE dispatched lax.scan program:
     `run(state, hyper=None) -> (state, losses[n_steps])`. Works for any of

@@ -69,6 +69,102 @@ def _streaming_dims(ds, batch_size: int, fine: bool = False):
     return capacity, b_pad
 
 
+
+
+# epoch-scan gate: datasets whose whole epoch stacks under this many
+# [B, L] positions train via ONE lax.scan dispatch per epoch
+EPOCH_SCAN_MAX_POSITIONS = 2_000_000
+
+
+def _stream_epochs(ds, state, batch_size, epochs, seed, cap_mult, cap_max,
+                   step_for, keys, int_keys, log):
+    """Drive a fused one-dispatch streaming trainer.
+
+    Small datasets (<= EPOCH_SCAN_MAX_POSITIONS stacked positions) run
+    each epoch as ONE dispatched lax.scan over the stacked minibatches
+    (fm_kernel.make_streaming_epoch_scan) — per-batch dispatch over a
+    tunneled backend measured 11 ms/step at the reference-NFM regime
+    where device compute is ~1 ms. Larger datasets stream per batch
+    through the Prefetcher thread (which also counts uniques for the
+    auto-capacity octaves, _capacity_octave)."""
+    np_rng = np.random.default_rng(seed)
+    positions = len(ds) * ds.ids.shape[1]
+    epoch_losses = []
+
+    if positions <= EPOCH_SCAN_MAX_POSITIONS:
+        # the whole run as ONE program: dataset on device once, epochs
+        # shuffled and streamed in-graph (fm_kernel.make_streaming_run)
+        n = len(ds)
+        n_pad = -(-n // batch_size) * batch_size
+        nu_total = len(np.unique(ds.ids.reshape(-1)[
+            ds.mask.reshape(-1) > 0]))
+        cap = _capacity_octave(min(nu_total, batch_size * ds.ids.shape[1]),
+                               cap_mult, cap_max)
+
+        def padded(k):
+            if k == "row_mask":
+                a = np.ones((n,), np.float32)
+            else:
+                a = np.asarray(getattr(ds, k))
+            if k in int_keys:
+                a = a.astype(np.int32)
+            if a.shape[0] < n_pad:
+                pad_shape = (n_pad - n,) + a.shape[1:]
+                a = np.concatenate(
+                    [a, np.zeros(pad_shape, a.dtype)], axis=0)
+            return jnp.asarray(a)
+
+        arrays = tuple(padded(k) for k in keys)
+        run = fm_kernel.make_streaming_run(step_for(cap), n_pad,
+                                           batch_size, epochs)
+        state, means = run(state, arrays,
+                           jax.random.PRNGKey(np_rng.integers(2**31)))
+        epoch_losses = [float(m) for m in np.asarray(means)]
+        if log:
+            for epoch, l in enumerate(epoch_losses):
+                log(f"epoch {epoch}: loss={l:.5f}")
+        return state, epoch_losses
+
+    def place(b):
+        ids = b["ids"].astype(np.int32)
+        nu = len(np.unique(ids[b["mask"] > 0]))   # Prefetcher thread
+        return _capacity_octave(nu, cap_mult, cap_max), tuple(
+            jnp.asarray(b[k].astype(np.int32)) if k in int_keys
+            else jnp.asarray(b[k])
+            for k in keys)
+
+    pf = Prefetcher(
+        lambda ep: sparse_batches(ds, batch_size, rng=np_rng), placer=place
+    )
+    for epoch in range(epochs):
+        losses = []
+        for cap, b in pf.epoch(epoch):
+            state, loss = step_for(cap)(state, *b)
+            losses.append(loss)
+        epoch_losses.append(float(jnp.mean(jnp.stack(losses))))
+        if log:
+            log(f"epoch {epoch}: loss={epoch_losses[-1]:.5f}")
+    return state, epoch_losses
+
+
+def _capacity_octave(n_unique: int, mult: int, cap_max: int) -> int:
+    """Smallest mult * 2^k >= n_unique + TILE + 1, capped at cap_max —
+    octave-bucketed capacity selection for the streaming planners (the
+    GBM grower's _slot_bucket pattern applied to the rank space):
+    skewed traffic batches run at a capacity sized to their OBSERVED
+    unique count instead of the worst-case B*L, and recompiles are
+    bounded to one per octave. The unique count is exact (counted on
+    the Prefetcher thread, off the device critical path), so overflow
+    is impossible — a denser batch simply escalates to the next octave.
+    Reference analogue: the PS pull set is sized per batch
+    (/root/reference/LightCTR/distribut/pull.h:50-67)."""
+    need = n_unique + TILE + 1
+    cap = mult
+    while cap < need and cap < cap_max:
+        cap *= 2
+    return min(cap, cap_max)
+
+
 def train_fm_kernel(ds, factor=8, learning_rate=0.05, l2=0.0, epochs=5,
                     batch_size=256, seed=0, exact=True, log=print,
                     wide_optimizer="adagrad", fine=True, xmat=True,
@@ -139,25 +235,21 @@ def train_fm_kernel(ds, factor=8, learning_rate=0.05, l2=0.0, epochs=5,
     # plan + step at B=256 (PARITY.md). The Prefetcher thread now only
     # stages host->device transfers.
     state = fm_kernel.streaming_init_packed(rng, cfg)
-    step = fm_kernel.make_streaming_train_step_fused(cfg, capacity, b_pad)
-    np_rng = np.random.default_rng(seed)
+    # auto-capacity octaves: one compiled step per observed octave
+    # (tests/test_auto_capacity.py: trajectories are capacity-invariant)
+    cap_mult = 5120 if cfg.fine else 2 * TILE
+    steps: dict = {}
 
-    def place(b):
-        return tuple(jnp.asarray(b[k].astype(np.int32)) if k == "ids"
-                     else jnp.asarray(b[k])
-                     for k in ("ids", "vals", "mask", "labels", "row_mask"))
+    def step_for(cap):
+        if cap not in steps:
+            steps[cap] = fm_kernel.make_streaming_train_step_fused(
+                cfg, cap, b_pad)
+        return steps[cap]
 
-    pf = Prefetcher(
-        lambda ep: sparse_batches(ds, batch_size, rng=np_rng), placer=place
-    )
-    for epoch in range(epochs):
-        losses = []
-        for b in pf.epoch(epoch):
-            state, loss = step(state, *b)
-            losses.append(loss)
-        epoch_losses.append(float(jnp.mean(jnp.stack(losses))))
-        if log:
-            log(f"epoch {epoch}: loss={epoch_losses[-1]:.5f}")
+    state, epoch_losses = _stream_epochs(
+        ds, state, batch_size, epochs, seed, cap_mult, capacity, step_for,
+        keys=("ids", "vals", "mask", "labels", "row_mask"),
+        int_keys=("ids",), log=log)
     table = np.asarray(fm_kernel.unpack_streaming_state(state).table)
     return {
         "w0": jnp.asarray(float(state.w0)),
@@ -319,27 +411,21 @@ def train_nfm_kernel(ds, factor=8, hidden=(64,), learning_rate=0.05,
     capacity, b_pad = _streaming_dims(ds, batch_size, fine=fine)
     state = nfm_kernel.streaming_init(rng, cfg)
     # fused ONE-dispatch step: planning traced into the train step (see
-    # train_fm_kernel); the Prefetcher stages transfers only
-    step = nfm_kernel.make_streaming_train_step_fused(cfg, capacity, b_pad)
-    np_rng = np.random.default_rng(seed)
+    # train_fm_kernel); the Prefetcher stages transfers only. Capacity
+    # picks per-batch octaves (_capacity_octave).
+    cap_mult = 5120 if cfg.fine else 2 * TILE
+    steps: dict = {}
 
-    def place(b):
-        return tuple(jnp.asarray(b[k].astype(np.int32)) if k == "ids"
-                     else jnp.asarray(b[k])
-                     for k in ("ids", "vals", "mask", "labels", "row_mask"))
+    def step_for(cap):
+        if cap not in steps:
+            steps[cap] = nfm_kernel.make_streaming_train_step_fused(
+                cfg, cap, b_pad)
+        return steps[cap]
 
-    pf = Prefetcher(
-        lambda ep: sparse_batches(ds, batch_size, rng=np_rng), placer=place
-    )
-    epoch_losses = []
-    for epoch in range(epochs):
-        losses = []
-        for b in pf.epoch(epoch):
-            state, loss = step(state, *b)
-            losses.append(loss)
-        epoch_losses.append(float(jnp.mean(jnp.stack(losses))))
-        if log:
-            log(f"epoch {epoch}: loss={epoch_losses[-1]:.5f}")
+    state, epoch_losses = _stream_epochs(
+        ds, state, batch_size, epochs, seed, cap_mult, capacity, step_for,
+        keys=("ids", "vals", "mask", "labels", "row_mask"),
+        int_keys=("ids",), log=log)
     return nfm_kernel.export_streaming_params(state, cfg), epoch_losses
 
 
@@ -521,29 +607,20 @@ def _train_ffm_kernel_streaming(ds, factor, learning_rate, l2, epochs,
     fp = agg and _fields_partition(ds)
 
     state = ffm_kernel.streaming_init(jax.random.PRNGKey(seed), cfg)
-    step = ffm_kernel.make_streaming_train_step_fused(
-        cfg, capacity, fields_partition=fp)
-    np_rng = np.random.default_rng(seed)
+    # auto-capacity octaves (see _capacity_octave): skewed batches run
+    # at their observed unique count, not the B*L worst case
+    steps: dict = {}
 
-    def place(b):
-        return tuple(
-            jnp.asarray(b[k].astype(np.int32)) if k in ("ids", "fields")
-            else jnp.asarray(b[k])
-            for k in ("ids", "vals", "mask", "fields", "labels", "row_mask")
-        )
+    def step_for(cap):
+        if cap not in steps:
+            steps[cap] = ffm_kernel.make_streaming_train_step_fused(
+                cfg, cap, fields_partition=fp)
+        return steps[cap]
 
-    pf = Prefetcher(
-        lambda ep: sparse_batches(ds, batch_size, rng=np_rng), placer=place
-    )
-    epoch_losses = []
-    for epoch in range(epochs):
-        losses = []
-        for b in pf.epoch(epoch):
-            state, loss = step(state, *b)
-            losses.append(loss)
-        epoch_losses.append(float(jnp.mean(jnp.stack(losses))))
-        if log:
-            log(f"epoch {epoch}: loss={epoch_losses[-1]:.5f}")
+    state, epoch_losses = _stream_epochs(
+        ds, state, batch_size, epochs, seed, 2 * TILE, capacity, step_for,
+        keys=("ids", "vals", "mask", "fields", "labels", "row_mask"),
+        int_keys=("ids", "fields"), log=log)
     return ffm_kernel.export_streaming_params(state, cfg), epoch_losses
 
 
