@@ -624,6 +624,295 @@ def make_sharded_streaming_ffm_step(cfg, capacity: int, mesh: Mesh,
     return step
 
 
+
+
+def make_dp_sharded_streaming_nfm_step(cfg: KernelNFMConfig, capacity: int,
+                                       b_pad: int, mesh: Mesh,
+                                       wire: str = "f32"):
+    """2-D (data x model) twin of make_sharded_streaming_nfm_step —
+    the same position-space sharding as make_dp_sharded_streaming_step
+    (the Ring-AllReduce-worker analogue) on top of the model-sharded
+    vocab table (the PS shards), plus the replicated MLP tower: the
+    pooled [b_pad, K] tensor is identical on every shard after the
+    rowsum psum, so the tower forward/backward/Adam run in lockstep
+    with no extra collective. Collectives: pull psum over `model`,
+    rowsum + rank-grad psums over `data` — all batch/rank-space sized.
+    Plans from plan_batch_on_device(..., n_pad_multiple=data*TILE).
+    Reference capability: NFM under a PS cluster with data-parallel
+    workers (train_nfm_algo.cpp:78-160 +
+    /root/reference/LightCTR/distributed_algo_abst.h:176-280)."""
+    from .. import optim
+    from ..ops.embedding_pallas import TILE
+
+    wd = WIRE_DTYPES[wire]
+    n_k = cfg.factor
+    R = capacity
+    M = mesh.shape["model"]
+    Dd = mesh.shape["data"]
+    V = cfg.n_features
+    assert V % M == 0, (
+        f"vocab {V} not divisible by model axis {M}; round with "
+        f"parallel.sharding.round_up_vocab(n, {M})"
+    )
+    rows_per_shard = V // M
+    tx = optim.adam(cfg.mlp_learning_rate)
+
+    def local_step(table_l, accum_l, w0, w0_accum, mlp, mlp_opt, b, hyper):
+        lr, l2 = hyper[0], hyper[1]
+        uids = b["uids"]
+        n_unique = b["n_unique"]
+
+        shard = jax.lax.axis_index("model")
+        offset = shard * rows_per_shard
+        local = uids - offset
+        in_range = (local >= 0) & (local < rows_per_shard)
+        safe = jnp.clip(local, 0, rows_per_shard - 1)
+        rows = jnp.where(in_range[:, None], table_l[safe], 0.0)
+        rows = wire_psum(rows, "model", wd)
+        rows = rows.at[R - 1].set(0.0)
+
+        rowsum, e_pos = kernel_forward(
+            cfg, rows, b["ranks_sorted"], b["rowid_sorted"], b["xv_sorted"],
+            b["tile_base"], b.get("tile_base_fine"), b_pad,
+        )
+        rowsum = wire_psum(rowsum, "data", wd)   # [b_pad, S] replicated
+        wx = rowsum[:, 0]
+        s = rowsum[:, 1 : 1 + n_k]
+        ss = rowsum[:, 1 + n_k : 1 + 2 * n_k]
+        pooled = 0.5 * (s * s - ss)
+
+        def deep_fn(mlp, pooled):
+            return mlp_apply(mlp, pooled, activation=cfg.activation)[:, 0]
+
+        deep, deep_vjp = jax.vjp(deep_fn, mlp, pooled)
+        z = w0 + wx + deep
+        labels_p = b["labels_padded"]
+        rmask_p = b["row_mask_padded"]
+        n_valid = jnp.maximum(jnp.sum(rmask_p), 1.0)
+        per = jnp.maximum(z, 0) - z * labels_p + jnp.log1p(jnp.exp(-jnp.abs(z)))
+        loss = jnp.sum(per * rmask_p) / n_valid
+        dlogit = (jax.nn.sigmoid(z) - labels_p) * rmask_p / n_valid
+
+        d_mlp, g_pool = deep_vjp(dlogit)
+        duals = jnp.zeros((b_pad, K.S))
+        duals = duals.at[:, 0].set(dlogit)
+        duals = duals.at[:, 1 : 1 + n_k].set(g_pool * s)
+        duals = duals.at[:, 1 + n_k : 1 + 2 * n_k].set(g_pool)
+
+        grad_rows = kernel_backward(
+            cfg, b["rowid_sorted"], b["xv_sorted"], e_pos, duals,
+            b["ranks_sorted"], b["tile_base"], b.get("tile_base_fine"),
+            b_pad, R,
+        )
+        grad_rows = wire_psum(grad_rows, "data", wd)  # [R, D] replicated
+        grad_rows = grad_rows + l2 * rows
+
+        pos = jnp.arange(R)
+        m = (pos < n_unique).astype(jnp.float32)[:, None]
+        g = grad_rows * m
+        acc_rows = jnp.where(in_range[:, None], accum_l[safe], 0.0) + g * g
+        upd = lr * g / (jnp.sqrt(acc_rows) + 1e-7)
+        own = in_range & (pos < n_unique)
+        scatter_idx = jnp.where(own, safe, rows_per_shard)
+        accum_l = accum_l.at[scatter_idx].set(acc_rows, mode="drop")
+        table_l = table_l.at[scatter_idx].add(-upd, mode="drop")
+
+        mlp_updates, mlp_opt = tx.update(d_mlp, mlp_opt, mlp)
+        mlp = optim.apply_updates(mlp, mlp_updates)
+
+        g0 = jnp.sum(dlogit)
+        w0_accum = w0_accum + g0 * g0
+        w0 = w0 - lr * g0 / (jnp.sqrt(w0_accum) + 1e-7)
+        return table_l, accum_l, w0, w0_accum, mlp, mlp_opt, loss
+
+    table_spec = P("model", None)
+    rep = P()
+    pos_spec = P("data")
+    batch_specs = {
+        "uids": rep, "n_unique": rep, "ranks_sorted": pos_spec,
+        "rowid_sorted": pos_spec, "xv_sorted": pos_spec,
+        "tile_base": pos_spec, "tile_base_fine": pos_spec,
+        "labels_padded": rep, "row_mask_padded": rep,
+    }
+    mapped = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(table_spec, table_spec, rep, rep, rep, rep,
+                  batch_specs, rep),
+        out_specs=(table_spec, table_spec, rep, rep, rep, rep, rep),
+        check_rep=False,
+    )
+
+    default_hyper = jnp.asarray([cfg.learning_rate, cfg.l2], jnp.float32)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: StreamingNFMState, b: dict, hyper=None):
+        n = b["ranks_sorted"].shape[0]
+        assert n % (Dd * TILE) == 0, (
+            f"{n} positions not divisible by data axis {Dd} x TILE {TILE}; "
+            f"plan with n_pad_multiple={Dd * TILE}"
+        )
+        h = default_hyper if hyper is None else hyper
+        table, accum, w0, w0_accum, mlp, mlp_opt, loss = mapped(
+            state.table, state.accum, state.w0, state.w0_accum,
+            state.mlp, state.mlp_opt, b, h,
+        )
+        return StreamingNFMState(w0, w0_accum, table, accum, mlp,
+                                 mlp_opt), loss
+
+    return step
+
+
+def make_dp_sharded_streaming_ffm_step(cfg, capacity: int, mesh: Mesh,
+                                       fields_partition: bool = False,
+                                       wire: str = "f32"):
+    """2-D (data x model) twin of make_sharded_streaming_ffm_step: the
+    (1 + F*K)-wide FFM master — the HEAVIEST table of the kernel family
+    — shards over `model` (the PS shards) while the BATCH rows shard
+    over `data` (the data-parallel-worker analogue): each shard builds
+    its count matrices over its B/D batch rows against the shared
+    global rank space and ONE rank-space grad psum over `data` glues
+    the slices; the pull psum over `model` assembles the rank rows as
+    in 1-D. All collectives are batch/rank-space sized — vocab-scale
+    traffic never crosses the mesh. Batch dicts from
+    ffm_kernel.plan_to_arrays with B divisible by the data axis.
+    Reference capability: FFM under the PS cluster with data-parallel
+    workers (/root/reference/LightCTR/distributed_algo_abst.h:176-280,
+    paramserver.h:122-300)."""
+    from ..models.ffm_kernel import (
+        StreamingFFMState,
+        _logits_from_counts,
+        _logits_from_counts_rf,
+        _logits_from_rank_rows,
+        count_matrix,
+        count_matrix_rows,
+    )
+
+    wd = WIRE_DTYPES[wire]
+    R = capacity
+    M = mesh.shape["model"]
+    Dd = mesh.shape["data"]
+    V = cfg.n_features
+    assert V % M == 0, (
+        f"vocab {V} not divisible by model axis {M}; round with "
+        f"parallel.sharding.round_up_vocab(n, {M})"
+    )
+    rows_per_shard = V // M
+
+    def local_step(table_l, accum_l, w0, w0_accum, b, hyper):
+        lr, l2 = hyper[0], hyper[1]
+        uids = b["uids"]
+        n_unique = b["n_unique"]
+
+        shard = jax.lax.axis_index("model")
+        offset = shard * rows_per_shard
+        local = uids - offset
+        in_range = (local >= 0) & (local < rows_per_shard)
+        safe = jnp.clip(local, 0, rows_per_shard - 1)
+        rows = jnp.where(in_range[:, None], table_l[safe], 0.0)
+        rows = wire_psum(rows, "model", wd)
+        rows = rows.at[R - 1].set(0.0)
+
+        # global n_valid: the loss normaliser spans the whole batch
+        n_valid = jnp.maximum(
+            jax.lax.psum(jnp.sum(b["row_mask"]), "data"), 1.0)
+        if cfg.agg:
+            cdt = jnp.float32 if cfg.exact else jnp.bfloat16
+            C = count_matrix(b["ranks"], b["fields"], b["xv"], R,
+                             cfg.n_fields, cdt)
+            if fields_partition:
+                # local rank->field map: entries for ranks absent from
+                # this shard's rows are wrong-but-inert (their count-
+                # matrix columns are zero here — same argument as the
+                # single-device padding note)
+                Bb, Lb = b["xv"].shape
+                rf = (jnp.zeros((R,), jnp.int32)
+                      .at[b["ranks"][: Bb * Lb]]
+                      .set(b["fields"].reshape(-1)))
+                Crow2 = count_matrix_rows(b["ranks"], b["xv"] * b["xv"],
+                                          R, cdt)
+
+                def loss_fn(rows, w0):
+                    z = _logits_from_counts_rf(rows, w0, C, Crow2, rf, cfg)
+                    per = (jnp.maximum(z, 0) - z * b["labels"]
+                           + jnp.log1p(jnp.exp(-jnp.abs(z))))
+                    return jnp.sum(per * b["row_mask"]) / n_valid
+            else:
+                def loss_fn(rows, w0):
+                    z = _logits_from_counts(rows, w0, C, b["ranks"],
+                                            b["fields"], b["xv"], cfg)
+                    per = (jnp.maximum(z, 0) - z * b["labels"]
+                           + jnp.log1p(jnp.exp(-jnp.abs(z))))
+                    return jnp.sum(per * b["row_mask"]) / n_valid
+        else:
+            onehot_f = jax.nn.one_hot(b["fields"], cfg.n_fields)
+            weighted = onehot_f * b["xv"][..., None]
+
+            def loss_fn(rows, w0):
+                z = _logits_from_rank_rows(rows, w0, b["ranks"], b["xv"],
+                                           cfg, onehot_f, weighted)
+                per = (jnp.maximum(z, 0) - z * b["labels"]
+                       + jnp.log1p(jnp.exp(-jnp.abs(z))))
+                return jnp.sum(per * b["row_mask"]) / n_valid
+
+        loss, (g_rows, g_w0) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            rows, w0
+        )
+        loss = jax.lax.psum(loss, "data")
+        g_rows = wire_psum(g_rows, "data", wd)
+        g_w0 = jax.lax.psum(g_w0, "data")
+        g_rows = g_rows + l2 * rows
+
+        pos = jnp.arange(R)
+        m = (pos < n_unique).astype(jnp.float32)[:, None]
+        g = g_rows * m
+        acc_rows = jnp.where(in_range[:, None], accum_l[safe], 0.0) + g * g
+        upd = lr * g / (jnp.sqrt(acc_rows) + 1e-7)
+        own = in_range & (pos < n_unique)
+        scatter_idx = jnp.where(own, safe, rows_per_shard)
+        accum_l = accum_l.at[scatter_idx].set(acc_rows, mode="drop")
+        table_l = table_l.at[scatter_idx].add(-upd, mode="drop")
+
+        w0_accum = w0_accum + g_w0 * g_w0
+        w0 = w0 - lr * g_w0 / (jnp.sqrt(w0_accum) + 1e-7)
+        return table_l, accum_l, w0, w0_accum, loss
+
+    table_spec = P("model", None)
+    rep = P()
+    row_spec = P("data")
+    batch_specs = {
+        "uids": rep, "n_unique": rep, "ranks": P("data"),
+        "xv": P("data", None), "fields": P("data", None),
+        "labels": row_spec, "row_mask": row_spec,
+    }
+    mapped = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(table_spec, table_spec, rep, rep, batch_specs, rep),
+        out_specs=(table_spec, table_spec, rep, rep, rep),
+        check_rep=False,
+    )
+
+    default_hyper = jnp.asarray([cfg.learning_rate, cfg.l2], jnp.float32)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, b: dict, hyper=None):
+        B, L = b["xv"].shape
+        assert B % Dd == 0, f"batch {B} not divisible by data axis {Dd}"
+        # ranks rides flat [n_pad >= B*L]; trim to B*L so each data
+        # shard's position slice lines up with its batch-row slice
+        b = dict(b, ranks=b["ranks"][: B * L])
+        h = default_hyper if hyper is None else hyper
+        table, accum, w0, w0_accum, loss = mapped(
+            state.table, state.accum, state.w0, state.w0_accum, b, h,
+        )
+        from ..models.ffm_kernel import StreamingFFMState
+
+        return StreamingFFMState(w0, w0_accum, table, accum), loss
+
+    return step
+
+
 def make_xmat_sharded_train_step(cfg: KernelFMConfig, plan, mesh: Mesh,
                                  wire: str = "f32"):
     """Data-sharded twin of the full-batch design-matrix (xmat) FM step —

@@ -436,15 +436,15 @@ def _train_nfm_kernel_sharded(ds, mesh, factor, hidden, learning_rate,
     sharded, MLP tower replicated (deterministic lockstep Adam —
     parallel/sharded_kernel.make_sharded_streaming_nfm_step)."""
     from ..parallel.sharded_kernel import (
+        make_dp_sharded_streaming_nfm_step,
         make_sharded_streaming_nfm_step,
+        shard_plan,
         shard_streaming_nfm_state,
     )
     from ..parallel.sharding import round_up_vocab
 
     M = mesh.shape["model"]
-    if mesh.shape.get("data", 1) != 1:
-        raise ValueError("sharded kernel NFM supports a model-only mesh "
-                         "(use --mesh 1xM)")
+    Dd = mesh.shape.get("data", 1)
     V = round_up_vocab(ds.n_features, max(1024, M))
     batch_size = min(batch_size, len(ds))
     capacity, b_pad = _streaming_dims(ds, batch_size, fine=True)
@@ -456,16 +456,25 @@ def _train_nfm_kernel_sharded(ds, mesh, factor, hidden, learning_rate,
     state = shard_streaming_nfm_state(
         nfm_kernel.streaming_init(jax.random.PRNGKey(seed), cfg), mesh
     )
-    step = make_sharded_streaming_nfm_step(cfg, capacity, b_pad,
-                                           mesh, wire=wire)
+    if Dd > 1:
+        # 2-D data x model: positions over `data`, table over `model`
+        step = make_dp_sharded_streaming_nfm_step(cfg, capacity, b_pad,
+                                                  mesh, wire=wire)
+        n_pad_multiple = Dd * TILE
+    else:
+        step = make_sharded_streaming_nfm_step(cfg, capacity, b_pad,
+                                               mesh, wire=wire)
+        n_pad_multiple = None
     np_rng = np.random.default_rng(seed)
 
     def place(b):
-        return fm_kernel.plan_batch_on_device(
+        arrays = fm_kernel.plan_batch_on_device(
             jnp.asarray(b["ids"].astype(np.int32)), jnp.asarray(b["vals"]),
             jnp.asarray(b["mask"]), jnp.asarray(b["labels"]),
             jnp.asarray(b["row_mask"]), capacity=capacity, b_pad=b_pad,
+            n_pad_multiple=n_pad_multiple,
         )
+        return shard_plan(arrays, mesh) if Dd > 1 else arrays
 
     pf = Prefetcher(
         lambda ep: sparse_batches(ds, batch_size, rng=np_rng), placer=place
@@ -685,11 +694,6 @@ def _train_ffm_kernel_sharded(ds, mesh, factor, learning_rate, l2, epochs,
                                 learning_rate=learning_rate, l2=l2,
                                 epochs=epochs, seed=seed, exact=exact,
                                 agg=agg, log=log, mesh=None)
-    if Dd != 1:
-        raise ValueError(
-            "sharded kernel FFM: use a data-only mesh (--mesh Nx1, "
-            "grouped full-batch) or a model-only mesh (--mesh 1xM, "
-            "streaming vocab master)")
     V = round_up_vocab(ds.n_features, max(1024, M))
     cfg = ffm_kernel.KernelFFMConfig(
         n_features=V, n_fields=ds.n_fields, factor=factor,
@@ -705,10 +709,22 @@ def _train_ffm_kernel_sharded(ds, mesh, factor, learning_rate, l2, epochs,
     )
     # rank-field self-term when the dataset's ids partition into fields
     # (plan_batch detected it on the full batch — a dataset-level property)
-    step = make_sharded_streaming_ffm_step(
-        cfg, capacity, mesh, fields_partition=plan.rank_field is not None,
-        wire=wire,
-    )
+    fp = plan.rank_field is not None
+    if Dd > 1:
+        # 2-D data x model: batch rows over `data`, table over `model`
+        from ..parallel.sharded_kernel import (
+            make_dp_sharded_streaming_ffm_step,
+        )
+
+        if len(ds) % Dd:
+            raise ValueError(
+                f"2-D sharded FFM needs the {len(ds)}-row batch divisible "
+                f"by the data axis {Dd}")
+        step = make_dp_sharded_streaming_ffm_step(
+            cfg, capacity, mesh, fields_partition=fp, wire=wire)
+    else:
+        step = make_sharded_streaming_ffm_step(
+            cfg, capacity, mesh, fields_partition=fp, wire=wire)
     arrays = ffm_kernel.plan_to_arrays(plan, capacity)
     epoch_losses = []
     for epoch in range(epochs):

@@ -397,3 +397,110 @@ def test_engine_data_mesh_full_batch_ffm(sparse_small):
     np.testing.assert_allclose(np.asarray(params_8["w"]),
                                np.asarray(params_1["w"]),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_dp_sharded_streaming_nfm_matches_single_device(sparse_small):
+    """2-D (data x model) streaming NFM == single-device trajectory:
+    positions sharded over `data`, vocab table over `model`, MLP tower
+    replicated in lockstep (VERDICT r2 #6)."""
+    from lightctr_tpu.models import nfm_kernel
+    from lightctr_tpu.parallel.sharded_kernel import (
+        make_dp_sharded_streaming_nfm_step,
+        shard_plan,
+        shard_streaming_nfm_state,
+    )
+
+    ds = sparse_small
+    V, B, capacity, b_pad = 1024, 128, 4 * TILE, 128
+    cfg = nfm_kernel.KernelNFMConfig(
+        n_features=V, factor=4, hidden=(8,), learning_rate=0.25,
+        mlp_learning_rate=1e-3, l2=1e-4, interpret=True, exact=True,
+    )
+    state_1 = nfm_kernel.streaming_init(jax.random.PRNGKey(0), cfg)
+    step_1 = nfm_kernel.make_streaming_train_step(cfg, capacity, b_pad)
+
+    mesh = make_mesh(data=2, model=4)
+    state_m = shard_streaming_nfm_state(
+        nfm_kernel.streaming_init(jax.random.PRNGKey(0), cfg), mesh
+    )
+    step_m = make_dp_sharded_streaming_nfm_step(cfg, capacity, b_pad, mesh)
+
+    losses_1, losses_m = [], []
+    for epoch in range(3):
+        for b in sparse_batches(ds, B):
+            arrays = fm_kernel.plan_batch_on_device(
+                jnp.asarray(b["ids"], jnp.int32), jnp.asarray(b["vals"]),
+                jnp.asarray(b["mask"]), jnp.asarray(b["labels"]),
+                jnp.asarray(b["row_mask"]), capacity=capacity, b_pad=b_pad,
+                n_pad_multiple=mesh.shape["data"] * TILE,
+            )
+            state_1, l1 = step_1(state_1, arrays)
+            state_m, lm = step_m(state_m, shard_plan(arrays, mesh))
+            losses_1.append(float(l1))
+            losses_m.append(float(lm))
+
+    # same tolerance rationale as test_dp_sharded_streaming_matches_*:
+    # the data psum's reduction order drifts from the single-device
+    # scatter at fp32, which Adagrad amplifies over steps
+    np.testing.assert_allclose(losses_m[0], losses_1[0], rtol=1e-6)
+    np.testing.assert_allclose(losses_m, losses_1, rtol=1e-3)
+    assert losses_m[-1] < 0.7 * losses_m[0]
+    t1 = np.asarray(state_1.table)
+    tm = np.asarray(jax.device_get(state_m.table))
+    np.testing.assert_allclose(tm, t1, rtol=5e-3, atol=1e-4)
+
+
+def test_dp_sharded_streaming_ffm_matches_single_device():
+    """2-D (data x model) streaming FFM == single-device trajectory for
+    both engines: the heaviest table of the family shards over `model`
+    while the batch shards over `data` (VERDICT r2 #6 — the reference PS
+    combined data-parallel workers with sharded tables,
+    distributed_algo_abst.h:176-280)."""
+    from lightctr_tpu.models import ffm_kernel
+    from lightctr_tpu.parallel.sharded_kernel import (
+        make_dp_sharded_streaming_ffm_step,
+        shard_streaming_ffm_state,
+    )
+
+    rng = np.random.default_rng(4)
+    # B*L/data must be a TILE(512) multiple for the non-agg sweep engine
+    V, F, Kf, B, L = 1024, 6, 4, 64, 16
+    capacity = 1024
+    mesh = make_mesh(data=2, model=4)
+
+    for agg, fp in ((False, False), (True, False), (True, True)):
+        cfg = ffm_kernel.KernelFFMConfig(
+            n_features=V, n_fields=F, factor=Kf, learning_rate=0.2,
+            l2=1e-4, interpret=True, exact=True, agg=agg,
+        )
+        state_1 = ffm_kernel.streaming_init(jax.random.PRNGKey(0), cfg)
+        state_m = shard_streaming_ffm_state(
+            ffm_kernel.streaming_init(jax.random.PRNGKey(0), cfg), mesh
+        )
+        step_1 = ffm_kernel.make_streaming_train_step(
+            cfg, capacity, fields_partition=fp
+        )
+        step_m = make_dp_sharded_streaming_ffm_step(
+            cfg, capacity, mesh, fields_partition=fp
+        )
+
+        losses_1, losses_m = [], []
+        for i in range(6):
+            ids = rng.integers(0, V, (B, L)).astype(np.int64)
+            plan = ffm_kernel.plan_batch(
+                ids, np.ones((B, L), np.float32), np.ones((B, L), np.float32),
+                (ids % F).astype(np.int32),
+                ((ids < 200).sum(axis=1) > 3).astype(np.float32),
+                n_rows_pad=capacity,
+            )
+            arrays = ffm_kernel.plan_to_arrays(plan, capacity)
+            state_1, l1 = step_1(state_1, arrays)
+            state_m, lm = step_m(state_m, arrays)
+            losses_1.append(float(l1))
+            losses_m.append(float(lm))
+
+        np.testing.assert_allclose(losses_m[0], losses_1[0], rtol=1e-6)
+        np.testing.assert_allclose(losses_m, losses_1, rtol=1e-3)
+        t1 = np.asarray(state_1.table)
+        tm = np.asarray(jax.device_get(state_m.table))
+        np.testing.assert_allclose(tm, t1, rtol=5e-3, atol=1e-4)
