@@ -152,6 +152,13 @@ def production_main():
         dt = (time.perf_counter() - t0) / n
         out[f"production_{name}examples_per_sec"] = round(B / dt, 1)
         out[f"production_{name}step_ms"] = round(dt * 1e3, 3)
+        # useful model FLOPs (fwd+bwd s/ss accumulation per position,
+        # ~6*(2K+1)/position) over the v5e bf16 peak — honestly TINY:
+        # this regime is master-exchange-bound, not FLOP-bound
+        # (PARITY.md row-exchange verdict)
+        model_flops = 6 * (2 * 8 + 1) * plan.ranks_sorted.shape[0]
+        out[f"production_{name}mfu_pct"] = round(
+            model_flops / dt / 197e12 * 100.0, 5)
         if name:
             out[f"production_{name}unique_rows"] = int(plan.n_unique)
     print(json.dumps(out))
@@ -237,6 +244,11 @@ def main():
     # Crow2@V^2 [D=8]; bwd: the two transposes), 2 FLOPs/MAC
     flops = 2 * 2 * plan.b_pad * plan.n_rows_pad * (9 + 8)
     algorithmic_tflops = flops / dt / 1e12
+    # honest MFU vs the v5e bf16 MXU peak (197 TFLOP/s; the step's
+    # matmuls run fp32-exact, so vs the hardware's best case): D=17-wide
+    # matmuls use 17/128 of the MXU lanes by construction — the narrow-
+    # matmul ceiling PARITY.md's xmat analysis names as the bound
+    mfu_pct = algorithmic_tflops / 197.0 * 100.0
 
     # secondary: the fine-window Pallas kernel step (streaming engine path)
     cfg_fw = fm_kernel.KernelFMConfig(
@@ -254,6 +266,7 @@ def main():
         "vs_baseline": round(examples_per_sec / REFERENCE_FM_EXAMPLES_PER_SEC, 3),
         "step_ms": round(dt * 1e3, 3),
         "algorithmic_tflops": round(algorithmic_tflops, 2),
+        "mfu_pct": round(mfu_pct, 3),
         "finewin_step_ms": round(dt_fw * 1e3, 3),
         **ffm,
         **prod,

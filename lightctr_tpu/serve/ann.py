@@ -39,6 +39,53 @@ def mips_topk(queries: jax.Array, items: jax.Array, k: int = 10, metric: str = "
     return jax.lax.top_k(scores, k)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "metric", "chunk"))
+def mips_topk_chunked(queries: jax.Array, items: jax.Array, k: int = 10,
+                      metric: str = "ip", chunk: int = 131072):
+    """Exact top-k with the item axis processed in chunks: a lax.scan
+    keeps a running [B, k] best set instead of materialising the full
+    [B, N] score matrix (16 GB at B=4096, N=1M — measured spilling to
+    1.6 s/batch; and lax.top_k over 1M lanes is itself ~100 ms even at
+    B=1, benchmarks/bench_two_stage_serve.py provenance). Identical
+    results to mips_topk (ties may reorder)."""
+    n, d = items.shape
+    n_pad = -(-n // chunk) * chunk
+    if n_pad > n:
+        items = jnp.concatenate(
+            [items, jnp.zeros((n_pad - n, d), items.dtype)], axis=0)
+    blocks = items.reshape(n_pad // chunk, chunk, d)
+    b = queries.shape[0]
+    neg = jnp.finfo(jnp.float32).min
+    if metric == "cos":
+        queries = queries / jnp.linalg.norm(
+            queries, axis=-1, keepdims=True).clip(1e-12)
+
+    def body(carry, xs):
+        best_s, best_i = carry
+        blk, base = xs
+        if metric == "cos":
+            bl = blk / jnp.linalg.norm(blk, axis=-1, keepdims=True).clip(1e-12)
+            s = jnp.dot(queries, bl.T, preferred_element_type=jnp.float32)
+        elif metric == "l2":
+            qx = jnp.dot(queries, blk.T, preferred_element_type=jnp.float32)
+            s = 2.0 * qx - jnp.sum(blk * blk, axis=-1)[None, :]
+        else:
+            s = jnp.dot(queries, blk.T, preferred_element_type=jnp.float32)
+        idx = base + jnp.arange(chunk, dtype=jnp.int32)[None, :]
+        valid = idx < n
+        s = jnp.where(valid, s, neg)
+        cat_s = jnp.concatenate([best_s, s], axis=1)
+        cat_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(idx, (b, chunk))], axis=1)
+        top_s, pos = jax.lax.top_k(cat_s, k)
+        return (top_s, jnp.take_along_axis(cat_i, pos, axis=1)), None
+
+    init = (jnp.full((b, k), neg), jnp.zeros((b, k), jnp.int32))
+    bases = jnp.arange(n_pad // chunk, dtype=jnp.int32) * chunk
+    (scores, ids), _ = jax.lax.scan(body, init, (blocks, bases))
+    return scores, ids
+
+
 class MIPSIndex:
     """Item-embedding index; shard rows over a mesh's `model` axis for
     catalogues beyond one chip's HBM (the sharded-table serving mode of

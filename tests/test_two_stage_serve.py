@@ -102,3 +102,22 @@ def test_scorer_on_widedeep(sparse_small):
     )
     metrics = batch_score(widedeep, cfg, state.params, sparse_small)
     assert metrics["auc"] > 0.9
+
+
+def test_mips_topk_chunked_matches_dense():
+    """The chunked running-top-k (the large-catalogue serving path)
+    returns the same ids/scores as the dense mips_topk."""
+    import numpy as np
+    import jax.numpy as jnp
+    from lightctr_tpu.serve.ann import mips_topk, mips_topk_chunked
+
+    rng = np.random.default_rng(0)
+    items = jnp.asarray(rng.normal(size=(1000, 16)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(7, 16)).astype(np.float32))
+    for metric in ("ip", "cos", "l2"):
+        s1, i1 = mips_topk(q, items, k=9, metric=metric)
+        s2, i2 = mips_topk_chunked(q, items, k=9, metric=metric, chunk=256)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s1),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.sort(np.asarray(i2), axis=1),
+                                      np.sort(np.asarray(i1), axis=1))
