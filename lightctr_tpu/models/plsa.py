@@ -72,6 +72,39 @@ def fit(counts, cfg: PLSAConfig, epochs: int = 200, tol: float = 1e-4, log=None)
     return state, float(ll)
 
 
+def fit_scan(counts, cfg: PLSAConfig, epochs: int = 200,
+             tol_total: float = 1e-3):
+    """Whole EM loop as ONE compiled program (lax.while_loop, reference
+    convergence semantics — em_algo_abst.h:33-48: stop when the TOTAL
+    log-likelihood moves <= tol between epochs, cap `epochs`) with a
+    single readback — the gmm.fit_scan shape. Returns
+    (state, final total log-likelihood, epochs run)."""
+    counts = jnp.asarray(counts, jnp.float32)
+    state0 = init(jax.random.PRNGKey(cfg.seed), cfg, counts.shape[0])
+
+    @jax.jit
+    def run(state):
+        def cond(carry):
+            _, i, ll, last = carry
+            return jnp.logical_and(
+                i < epochs,
+                jnp.logical_or(i == 0, jnp.abs(ll - last) > tol_total),
+            )
+
+        def body(carry):
+            s, i, ll, _ = carry
+            s2, ll2 = em_step(s, counts, cfg.eps)
+            return s2, i + 1, ll2, ll
+
+        s, i, ll, _ = jax.lax.while_loop(
+            cond, body, (state, jnp.int32(0), -jnp.inf, -jnp.inf)
+        )
+        return s, ll, i
+
+    state, ll, i = run(state0)
+    return state, float(ll), int(i)
+
+
 def top_words(state: PLSAState, k: int = 10):
     """Top-k word ids per topic (the reference's topic dump,
     train_tm_algo.cpp:175-213)."""

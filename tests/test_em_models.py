@@ -405,3 +405,21 @@ def test_token_chunks_from_text(tmp_path):
     assert len(chunks) > 3
     assert all(len(c) <= 100 for c in chunks[:-1])
     np.testing.assert_array_equal(np.concatenate(chunks), whole)
+
+
+def test_plsa_fit_scan_matches_fit():
+    """fit_scan (one compiled while_loop — the head-to-head path) runs
+    the same EM math as the host-loop fit()."""
+    rng = np.random.default_rng(5)
+    counts = rng.poisson(1.0, size=(60, 40)).astype(np.float32)
+    cfg = plsa.PLSAConfig(n_topics=4, n_words=40, seed=2)
+    state_scan, ll_scan, epochs = plsa.fit_scan(counts, cfg, epochs=15,
+                                                tol_total=0.0)
+    assert epochs == 15
+    state_loop, ll_loop = plsa.fit(counts, cfg, epochs=15, tol=0.0)
+    np.testing.assert_allclose(np.asarray(state_scan.p_w_t),
+                               np.asarray(state_loop.p_w_t),
+                               rtol=1e-5, atol=1e-7)
+    # loose tolerance stops early
+    _, _, ep_loose = plsa.fit_scan(counts, cfg, epochs=200, tol_total=50.0)
+    assert ep_loose < 200
