@@ -107,9 +107,14 @@ def encode_sparse_update(ids: np.ndarray, values: np.ndarray) -> bytes:
     return head + keylen + keys + fp16_encode(values)
 
 
-def decode_sparse_update(data: bytes):
+def decode_sparse_update(data: bytes, dim: int = 1):
+    """Inverse of encode_sparse_update. dim > 1 reads a [count, dim]
+    value block per key (the reference's 'T' dense-tensor payloads,
+    paramserver.h:146-160, share the wire with scalar 'N' entries)."""
     count = int(np.frombuffer(data[:4], np.uint32)[0])
     keylen = int(np.frombuffer(data[4:8], np.uint32)[0])
     ids = delta_varuint_decode(data[8 : 8 + keylen], count)
     values = fp16_decode(data[8 + keylen :])
+    if dim > 1:
+        return ids, values[: count * dim].reshape(count, dim)
     return ids, values[:count] if values.ndim == 1 else values
