@@ -186,8 +186,14 @@ def train_cbow(
     batch_size: int = 1024,
     learning_rate: float = 0.05,
     log=None,
+    fused: bool = True,
 ) -> dict:
-    """Full CBOW training from a token-id stream. Returns params."""
+    """Full CBOW training from a token-id stream. Returns params.
+
+    fused=True (default) runs ALL epochs as one compiled program with
+    device-side shuffling and in-graph negative sampling; fused=False
+    keeps the per-batch host loop (host-numpy negatives — a different
+    RNG stream, so trajectories differ between the modes)."""
     rng_np = np.random.default_rng(cfg.seed)
     tokens = subsample_corpus(tokens, counts, cfg.subsample_t, rng_np)
     centers, ctx, mask = make_cbow_examples(tokens, cfg.window)
@@ -220,6 +226,61 @@ def train_cbow(
         return optim.apply_updates(params, updates), opt_state, loss
 
     n = len(centers)
+    n_batches = n // batch_size
+    if fused and n_batches >= 1:
+        # the WHOLE training as ONE compiled program (the NFM
+        # make_streaming_run shape): examples on device once, per-epoch
+        # device-side permutation, negatives drawn in-graph from the
+        # unigram^0.75 table, nested lax.scan, one readback. Per-batch
+        # host dispatch measured the TEST_EMB composite SLOWER on the
+        # TPU than on CPU (108 s vs 89.4 s reference;
+        # benchmarks/bench_topic_embed_headtohead.py provenance).
+        dev = {
+            "centers": jnp.asarray(centers),
+            "ctx": jnp.asarray(ctx),
+            "mask": jnp.asarray(mask),
+        }
+        neg_logits = (jnp.log(jnp.asarray(unigram) + 1e-30)
+                      if cfg.mode == "negative" else None)
+
+        @jax.jit
+        def run(params, opt_state, rng):
+            def epoch_body(carry, erng):
+                p, o = carry
+                kperm, kneg = jax.random.split(erng)
+                perm = jax.random.permutation(kperm, n)
+
+                def batch_body(carry, i):
+                    p, o = carry
+                    idx = jax.lax.dynamic_slice_in_dim(
+                        perm, i * batch_size, batch_size)
+                    b = {k: v[idx] for k, v in dev.items()}
+                    if neg_logits is not None:
+                        b["neg"] = jax.random.categorical(
+                            jax.random.fold_in(kneg, i), neg_logits,
+                            shape=(batch_size, cfg.n_negatives),
+                        ).astype(jnp.int32)
+                    loss, grads = jax.value_and_grad(loss_fn)(p, b)
+                    updates, o = tx.update(grads, o, p)
+                    return (optim.apply_updates(p, updates), o), loss
+
+                (p, o), losses = jax.lax.scan(
+                    batch_body, (p, o), jnp.arange(n_batches))
+                return (p, o), jnp.mean(losses)
+
+            (params, opt_state), epoch_losses = jax.lax.scan(
+                epoch_body, (params, opt_state),
+                jax.random.split(rng, epochs))
+            return params, epoch_losses
+
+        params, epoch_losses = run(
+            params, opt_state,
+            jax.random.PRNGKey(rng_np.integers(2**31)))
+        if log:
+            for epoch, l in enumerate(np.asarray(epoch_losses)):
+                log(f"cbow epoch {epoch}: loss={float(l):.4f}")
+        return params
+
     for epoch in range(epochs):
         order = rng_np.permutation(n)
         losses = []

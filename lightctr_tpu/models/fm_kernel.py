@@ -288,8 +288,17 @@ def _make_xmat_train_step(cfg: KernelFMConfig, plan: BatchPlan,
             state.rows, state.w0
         )
         grad_rows = grad_rows + l2 * state.rows
-        accum = state.accum + grad_rows * grad_rows
-        rows = state.rows - lr * grad_rows / (jnp.sqrt(accum) + 1e-7)
+        # Adagrad elementwise in a PACKED [R*D/128, 128] view: the
+        # [R, 16] layout uses 16/128 VPU lanes; packed recovers the
+        # entire optimizer residual (0.1276 -> 0.1192 ms == the
+        # no-accum SGD bound; benchmarks/bench_xmat_opt.py). Free
+        # reshapes of a row-major buffer; same math bit-for-bit.
+        shp = state.rows.shape
+        g_p = grad_rows.reshape(-1, 128)
+        acc_p = state.accum.reshape(-1, 128) + g_p * g_p
+        rows = (state.rows.reshape(-1, 128)
+                - lr * g_p / (jnp.sqrt(acc_p) + 1e-7)).reshape(shp)
+        accum = acc_p.reshape(shp)
         if cfg.wide_optimizer == "ftrl":
             rows, ftrl_z, ftrl_n = _ftrl_wide(cfg, state, rows, grad_rows)
         else:
