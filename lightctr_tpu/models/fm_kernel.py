@@ -352,6 +352,175 @@ def _xmat_rank_grads(cfg: KernelFMConfig, rows, w0, b, b_pad: int, R: int):
     return loss, grad_rows, g0
 
 
+@functools.partial(
+    jax.jit, static_argnames=("capacity", "b_pad")
+)
+def plan_super_batch_on_device(ids, vals, mask, labels, row_mask,
+                               capacity: int, b_pad: int) -> dict:
+    """Batch planning for the K-step SUPER-BATCH streaming step: one
+    global dedup over K minibatches' ids (the union rank space the
+    master is pulled/pushed against ONCE), plus each sub-batch's sorted
+    position layout and touched-row mask within that union space.
+
+    ids/vals/mask: [K, B, L]; labels/row_mask: [K, B]. capacity covers
+    the UNION's unique count (+TILE+1, multiple of 2*TILE).
+    Returns dict of stacked per-batch arrays for
+    make_streaming_super_step_fused."""
+    from ..ops.embedding_pallas import TILE
+
+    K_, B, L = ids.shape
+    n = B * L
+    n_pad = (n + TILE - 1) // TILE * TILE
+    flat = ids.reshape(-1).astype(jnp.int32)            # [K*B*L]
+    valid = mask.reshape(-1) > 0
+    sentinel = jnp.int32(2**31 - 1)
+    keyed = jnp.where(valid, flat, sentinel)
+    order = jnp.argsort(keyed)
+    sorted_ids = keyed[order]
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         (sorted_ids[1:] != sorted_ids[:-1]).astype(jnp.int32)]
+    )
+    is_new = jnp.where(sorted_ids == sentinel, 0, is_new)
+    ranks_g = jnp.cumsum(is_new) - 1
+    n_unique = jnp.sum(is_new)
+
+    pad_rank = capacity - 1
+    ranks_sorted_g = jnp.where(sorted_ids == sentinel, pad_rank,
+                               ranks_g).astype(jnp.int32)
+    take = jnp.where(is_new > 0, ranks_g, capacity)
+    uids = (
+        jnp.zeros((capacity + 1,), jnp.int32)
+        .at[take].set(jnp.where(sorted_ids == sentinel, 0, sorted_ids),
+                      mode="drop")[:capacity]
+    )
+    # back to natural [K, B*L] order, then sort WITHIN each sub-batch
+    ranks_nat = (jnp.zeros((K_ * n,), jnp.int32)
+                 .at[order].set(ranks_sorted_g)).reshape(K_, n)
+    xv = (vals * mask).reshape(K_, n)
+    if n_pad > n:
+        ranks_nat = jnp.concatenate(
+            [ranks_nat, jnp.full((K_, n_pad - n), pad_rank, jnp.int32)],
+            axis=1)
+        xv = jnp.concatenate([xv, jnp.zeros((K_, n_pad - n))], axis=1)
+    border = jax.vmap(jnp.argsort)(ranks_nat)           # [K, n_pad]
+    ranks_sorted = jnp.take_along_axis(ranks_nat, border, axis=1)
+    xv_sorted = jnp.take_along_axis(xv, border, axis=1)
+    rowid_sorted = (border // L).astype(jnp.int32)      # pad pos -> >= B
+    tile_base = jnp.minimum(
+        ranks_sorted[:, ::TILE] // TILE, capacity // TILE - 2
+    ).astype(jnp.int32)
+
+    # touched-row mask per sub-batch (for the per-step L2 term)
+    bidx = jnp.repeat(jnp.arange(K_, dtype=jnp.int32)[:, None], n, axis=1)
+    touched = (
+        jnp.zeros((K_, capacity + 1), jnp.float32)
+        .at[bidx.reshape(-1),
+            jnp.where(valid, ranks_nat[:, :n].reshape(-1), capacity)]
+        .set(1.0, mode="drop")[:, :capacity]
+    )
+    touched = touched.at[:, capacity - 1].set(0.0)
+
+    labels_p = jnp.zeros((K_, b_pad)).at[:, :B].set(labels)
+    rmask_p = jnp.zeros((K_, b_pad)).at[:, :B].set(row_mask)
+    return {
+        "uids": uids,
+        "n_unique": n_unique.astype(jnp.int32),
+        "ranks_sorted": ranks_sorted,
+        "rowid_sorted": rowid_sorted,
+        "xv_sorted": xv_sorted,
+        "tile_base": tile_base,
+        "touched": touched,
+        "labels_padded": labels_p,
+        "row_mask_padded": rmask_p,
+    }
+
+
+def make_streaming_super_step_fused(cfg: KernelFMConfig, capacity: int,
+                                    b_pad: int, k_steps: int):
+    """K-STEP super-batch streaming step: pull the UNION of K
+    minibatches' rows from the vocab master ONCE, lax.scan K exact
+    sub-steps in rank space (each sub-step's gradients are zero outside
+    its own touched rows, and its L2 term is masked to them, so the
+    trajectory is IDENTICAL to K sequential fused steps —
+    tests/test_fm_super.py), push once. The master exchange is per-ROW
+    bound (PARITY.md row-exchange verdict), so overlapping id sets
+    amortise: zipf-1.2 production batches overlap such that union(8) is
+    0.63x the sequential row-ops.
+
+    Takes ids/vals/mask [K, B, L], labels/row_mask [K, B]; coarse
+    (fine=False, xmat=False) kernel path."""
+    assert not cfg.fine and not cfg.xmat, "super-step: coarse kernels"
+    assert cfg.n_features < 2**31 - 1
+    n_k = cfg.factor
+    R = capacity
+    D = K.D
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: StreamingFMStatePacked, ids, vals, mask, labels,
+             row_mask, hyper=None):
+        lr = cfg.learning_rate if hyper is None else hyper[0]
+        l2 = cfg.l2 if hyper is None else hyper[1]
+        b = plan_super_batch_on_device.__wrapped__(
+            ids, vals, mask, labels, row_mask, capacity=capacity,
+            b_pad=b_pad)
+        uids = b["uids"]
+        n_unique = b["n_unique"]
+        pulled = state.packed[uids]              # ONE union gather
+        rows0 = pulled[:, :D].at[R - 1].set(0.0)
+        acc0 = pulled[:, D:]
+
+        def body(carry, xs):
+            rows, acc, w0, w0_accum = carry
+            ranks_s, rowid_s, xv_s, tbase, touched, labels_p, rmask_p = xs
+            rowsum, e_pos = kernel_forward(
+                cfg, rows, ranks_s, rowid_s, xv_s, tbase, None, b_pad)
+            wx = rowsum[:, 0]
+            sv = rowsum[:, 1 : 1 + n_k]
+            ss = rowsum[:, 1 + n_k : 1 + 2 * n_k]
+            z = w0 + wx + 0.5 * jnp.sum(sv * sv - ss, axis=-1)
+            n_valid = jnp.maximum(jnp.sum(rmask_p), 1.0)
+            per = (jnp.maximum(z, 0) - z * labels_p
+                   + jnp.log1p(jnp.exp(-jnp.abs(z))))
+            loss = jnp.sum(per * rmask_p) / n_valid
+            dlogit = (jax.nn.sigmoid(z) - labels_p) * rmask_p / n_valid
+
+            duals = jnp.zeros((b_pad, K.S))
+            duals = duals.at[:, 0].set(dlogit)
+            duals = duals.at[:, 1 : 1 + n_k].set(dlogit[:, None] * sv)
+            duals = duals.at[:, 1 + n_k : 1 + 2 * n_k].set(
+                jnp.broadcast_to(dlogit[:, None], (b_pad, n_k)))
+            grad_rows = kernel_backward(
+                cfg, rowid_s, xv_s, e_pos, duals, ranks_s, tbase, None,
+                b_pad, R)
+            # L2 masked to THIS batch's touched rows — the sequential
+            # baseline only regularises rows it pulls
+            g = grad_rows + l2 * rows * touched[:, None]
+            acc = acc + g * g
+            rows = rows - lr * g / (jnp.sqrt(acc) + 1e-7)
+            rows = rows.at[R - 1].set(0.0)
+
+            g0 = jnp.sum(dlogit)
+            w0_accum = w0_accum + g0 * g0
+            w0 = w0 - lr * g0 / (jnp.sqrt(w0_accum) + 1e-7)
+            return (rows, acc, w0, w0_accum), loss
+
+        xs = (b["ranks_sorted"], b["rowid_sorted"], b["xv_sorted"],
+              b["tile_base"], b["touched"], b["labels_padded"],
+              b["row_mask_padded"])
+        (rows, acc, w0, w0_accum), losses = jax.lax.scan(
+            body, (rows0, acc0, state.w0, state.w0_accum), xs)
+
+        pos = jnp.arange(R)
+        safe_uids = jnp.where(pos < n_unique, uids, state.packed.shape[0])
+        packed = state.packed.at[safe_uids].set(
+            jnp.concatenate([rows, acc], axis=1), mode="drop"
+        )                                        # ONE union scatter
+        return StreamingFMStatePacked(w0, w0_accum, packed), losses
+
+    return step
+
+
 def make_streaming_epoch_scan(fused_step):
     """Fold a FUSED streaming step over a STACK of minibatches in ONE
     dispatched lax.scan: run(state, *stacked[S, ...]) ->
