@@ -119,6 +119,11 @@ def main(argv=None):
     s = sub.add_parser("score", parents=[common])
     s.add_argument("--test", required=True)
     s.add_argument("--ckpt", required=True)
+    s.add_argument("--engine", default="dense", choices=["dense", "kernel"],
+                   help="kernel (ffm only): score through the count-"
+                        "matrix formulation — the dense [B,L,F,K] FFM "
+                        "forward cannot compile at production shapes "
+                        "on this stack (PARITY.md serving section)")
     s.add_argument("--n-features", type=int, default=None,
                    help="param-shape vocab; defaults to checkpoint metadata")
     s.add_argument("--n-fields", type=int, default=0)
@@ -371,8 +376,11 @@ def main(argv=None):
         template = model.init(jax.random.PRNGKey(0), cfg)
         params = load_checkpoint(args.ckpt, template)
         test_ds = load_libffm(args.test, n_features=n_features, n_fields=max(n_fields, 1))
+        if args.engine == "kernel" and args.model != "ffm":
+            raise SystemExit("score --engine kernel supports ffm only")
         metrics = batch_score(model, cfg, params, test_ds,
-                              batch_size=args.batch_size, dump_path=args.dump)
+                              batch_size=args.batch_size,
+                              dump_path=args.dump, engine=args.engine)
         print(json.dumps(metrics))
 
 

@@ -26,6 +26,59 @@ def make_scorer(model, cfg, params) -> Callable:
     return score
 
 
+def make_ffm_kernel_scorer(cfg, params, batch_size: int,
+                           seq_len: int) -> Callable:
+    """FFM scorer through the COUNT-MATRIX kernel formulation instead of
+    the dense [B, L, F, K] forward. The dense FFM scorer is a compile
+    pathology at production shapes on this stack (three ~55-min remote
+    compiles all broke — PARITY.md serving section); this path reuses
+    the streaming engine's math: per-batch device dedup -> one row
+    gather -> C = count_matrix scatter -> S = C @ rows MXU matmul ->
+    pairwise identity. Identical probabilities to the dense forward
+    (tests/test_two_stage_serve.py::test_ffm_kernel_scorer_matches_dense).
+
+    cfg: models.ffm.FFMConfig; params: the dense {w0, w [V], v [V,F,K]}
+    dict. Shapes are static per (batch_size, seq_len).
+    """
+    import jax.numpy as jnp
+
+    from ..models import ffm_kernel
+    from ..ops.embedding_pallas import TILE
+
+    kcfg = ffm_kernel.KernelFFMConfig(
+        n_features=cfg.n_features, n_fields=cfg.n_fields,
+        factor=cfg.factor, exact=True, agg=True)
+    Dw = kcfg.row_width
+    F, Kf = cfg.n_fields, cfg.factor
+    n = batch_size * seq_len
+    capacity = (min(n, cfg.n_features) + 2 + 2 * TILE - 1) \
+        // (2 * TILE) * (2 * TILE)
+
+    # vocab-space packed table [V, Dw]: [w | V(F*K) | pad]
+    V = cfg.n_features
+    table = jnp.zeros((V, Dw))
+    table = table.at[:, 0].set(params["w"])
+    table = table.at[:, 1 : 1 + F * Kf].set(
+        jnp.asarray(params["v"]).reshape(V, F * Kf))
+    w0 = jnp.asarray(params["w0"])
+
+    @jax.jit
+    def score(batch):
+        b = ffm_kernel.plan_batch_on_device.__wrapped__(
+            batch["ids"].astype(jnp.int32), batch["vals"], batch["mask"],
+            batch["fields"], jnp.zeros((batch_size,)),
+            jnp.ones((batch_size,)), capacity=capacity)
+        rows = table[b["uids"]]
+        rows = rows.at[capacity - 1].set(0.0)
+        C = ffm_kernel.count_matrix(b["ranks"], b["fields"], b["xv"],
+                                    capacity, F, jnp.float32)
+        z = ffm_kernel._logits_from_counts(rows, w0, C, b["ranks"],
+                                           b["fields"], b["xv"], kcfg)
+        return sigmoid(z)
+
+    return score
+
+
 def batch_score(
     model,
     cfg,
@@ -33,11 +86,16 @@ def batch_score(
     ds: SparseDataset,
     batch_size: int = 512,
     dump_path: str | None = None,
+    engine: str = "dense",
 ) -> dict:
     """Score a dataset; returns {auc, logloss, accuracy}; optionally dumps
     one probability per line (reference prediction dump format,
     fm_predict.cpp:79-89)."""
-    score = make_scorer(model, cfg, params)
+    if engine == "kernel":
+        score = make_ffm_kernel_scorer(cfg, params, batch_size,
+                                       ds.ids.shape[1])
+    else:
+        score = make_scorer(model, cfg, params)
     acc = MetricAccumulator()
     preds: list[np.ndarray] = []
     for batch in sparse_batches(ds, batch_size):

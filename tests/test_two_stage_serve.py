@@ -121,3 +121,40 @@ def test_mips_topk_chunked_matches_dense():
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_array_equal(np.sort(np.asarray(i2), axis=1),
                                       np.sort(np.asarray(i1), axis=1))
+
+
+def test_ffm_kernel_scorer_matches_dense():
+    """The kernel-formulation FFM scorer (the serving path for shapes
+    where the dense [B, L, F, K] forward cannot compile) returns the
+    SAME probabilities and batch_score metrics as the dense scorer."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from lightctr_tpu.data.libffm import SparseDataset
+    from lightctr_tpu.models import ffm
+    from lightctr_tpu.serve.scorer import batch_score, make_ffm_kernel_scorer, make_scorer
+
+    rng = np.random.default_rng(0)
+    V, F, Kf, N, L = 5000, 6, 4, 200, 10
+    ids = rng.integers(0, V, (N, L)).astype(np.int64)
+    ds = SparseDataset(
+        ids=ids,
+        vals=np.ones((N, L), np.float32),
+        fields=(ids % F).astype(np.int64),
+        mask=np.ones((N, L), np.float32),
+        labels=rng.integers(0, 2, (N,)).astype(np.float32),
+        nnz=np.full((N,), L, np.int32),
+        n_features=V,
+        n_fields=F,
+    )
+    cfg = ffm.FFMConfig(n_features=V, n_fields=F, factor=Kf)
+    params = ffm.init(jax.random.PRNGKey(0), cfg)
+    params["w"] = jnp.asarray(
+        rng.normal(size=(V,)).astype(np.float32) * 0.1)
+
+    m_dense = batch_score(ffm, cfg, params, ds, batch_size=64)
+    m_kernel = batch_score(ffm, cfg, params, ds, batch_size=64,
+                           engine="kernel")
+    assert abs(m_dense["auc"] - m_kernel["auc"]) < 1e-6
+    assert abs(m_dense["logloss"] - m_kernel["logloss"]) < 1e-5
