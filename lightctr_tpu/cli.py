@@ -100,7 +100,13 @@ def main(argv=None):
     t.add_argument("--epochs", type=int, default=5)
     t.add_argument("--optimizer", default="adagrad",
                    choices=["sgd", "momentum", "adagrad", "rmsprop", "adadelta", "adam", "ftrl"])
-    t.add_argument("--lr", type=float, default=0.1)
+    t.add_argument("--lr", type=float, default=0.05,
+                   help="default matches the reference's global "
+                        "__global_learning_rate (main.cpp:65). Full-batch "
+                        "Adagrad moves every touched weight ~±lr on step "
+                        "one, so FFM (thousands of pairwise terms per "
+                        "logit) takes a long loss excursion at 0.1 on the "
+                        "bundled data; 0.05 and below recover quickly")
     t.add_argument("--grad-clip", type=float, default=0.0)
     t.add_argument("--ckpt", default=None, help="checkpoint output path")
     t.add_argument("--mesh", default=None,
