@@ -135,8 +135,12 @@ uint64_t shmkv_count(void* hv) {
   return reinterpret_cast<Handle*>(hv)->hdr->count.load();
 }
 
-// Insert-or-update. Returns 0 ok, -1 table full.
+// Insert-or-update. Returns 0 ok, -1 table full, -2 reserved key.
+// key == -1 is the EMPTY slot sentinel: a put would CAS -1 -> -1
+// (trivially succeeding and bumping count on EVERY call) and a get
+// would stop at the first "empty" probe — reject it outright.
 int shmkv_put(void* hv, int64_t key, const float* val) {
+  if (key == kEmpty) return -2;
   Handle* h = reinterpret_cast<Handle*>(hv);
   uint64_t cap = h->hdr->capacity, dim = h->hdr->dim;
   uint64_t i = mix((uint64_t)key) % cap;
@@ -164,8 +168,10 @@ int shmkv_put(void* hv, int64_t key, const float* val) {
   return -1;
 }
 
-// Returns 1 found (row copied to out), 0 missing.
+// Returns 1 found (row copied to out), 0 missing (incl. the reserved
+// EMPTY sentinel key -1, which can never be stored).
 int shmkv_get(void* hv, int64_t key, float* out) {
+  if (key == kEmpty) return 0;
   Handle* h = reinterpret_cast<Handle*>(hv);
   uint64_t cap = h->hdr->capacity, dim = h->hdr->dim;
   uint64_t i = mix((uint64_t)key) % cap;
@@ -192,7 +198,8 @@ int shmkv_put_batch(void* hv, const int64_t* keys, const float* vals,
   Handle* h = reinterpret_cast<Handle*>(hv);
   uint64_t dim = h->hdr->dim;
   for (uint64_t j = 0; j < n; j++) {
-    if (shmkv_put(hv, keys[j], vals + j * dim) != 0) return -1;
+    int rc = shmkv_put(hv, keys[j], vals + j * dim);
+    if (rc != 0) return rc;
   }
   return 0;
 }

@@ -93,3 +93,32 @@ def token_chunks_from_text(path: str, vocab: list[str],
                 buf = buf[chunk_tokens:]
     if buf:
         yield np.asarray(buf, np.int64)
+
+
+def frequency_remap(ids, mask=None, n_features: int | None = None):
+    """Bijective old->new feature-id table ordering ids by DESCENDING
+    observed frequency: the hottest id becomes 0, ties and never-seen
+    ids keep their original relative order after the seen ones.
+
+    Real CTR feature ids are hashes with no frequency structure, but the
+    streaming engine's skew economics (PARITY.md: the vocab-master
+    pull/push cost scales with *touched rows*, auto-capacity octaves
+    pick the rank space from observed unique counts) reward a layout
+    where hot rows cluster at the bottom of the table. Build the remap
+    from a traffic sample, apply it with `remap[ids]` at ingest (and to
+    dump/export paths via its inverse `np.argsort(remap)`).
+
+    ids: int array of any shape; mask: optional same-shape validity
+    mask; n_features: table size (default max seen id + 1).
+    Returns remap [n_features] int64 with remap[old_id] = new_id.
+    """
+    flat = np.asarray(ids).reshape(-1)
+    if mask is not None:
+        flat = flat[np.asarray(mask).reshape(-1) > 0]
+    if n_features is None:
+        n_features = int(flat.max()) + 1 if flat.size else 0
+    counts = np.bincount(flat, minlength=n_features)
+    order = np.argsort(-counts, kind="stable")
+    remap = np.empty(n_features, np.int64)
+    remap[order] = np.arange(n_features, dtype=np.int64)
+    return remap

@@ -86,8 +86,11 @@ class ShmKV:
     def put(self, key: int, value) -> None:
         v = np.ascontiguousarray(value, np.float32)
         assert v.size == self.dim, (v.size, self.dim)
-        if self._lib.shmkv_put(self._h, int(key),
-                               v.ctypes.data_as(ctypes.c_void_p)) != 0:
+        rc = self._lib.shmkv_put(self._h, int(key),
+                                 v.ctypes.data_as(ctypes.c_void_p))
+        if rc == -2:
+            raise ValueError("key -1 is the reserved EMPTY slot sentinel")
+        if rc != 0:
             raise RuntimeError("shm KV full")
 
     def get(self, key: int, default=None):
@@ -101,9 +104,12 @@ class ShmKV:
         k = np.ascontiguousarray(keys, np.int64)
         v = np.ascontiguousarray(values, np.float32)
         assert v.shape == (len(k), self.dim), (v.shape, len(k), self.dim)
-        if self._lib.shmkv_put_batch(
-                self._h, k.ctypes.data_as(ctypes.c_void_p),
-                v.ctypes.data_as(ctypes.c_void_p), len(k)) != 0:
+        rc = self._lib.shmkv_put_batch(
+            self._h, k.ctypes.data_as(ctypes.c_void_p),
+            v.ctypes.data_as(ctypes.c_void_p), len(k))
+        if rc == -2:
+            raise ValueError("key -1 is the reserved EMPTY slot sentinel")
+        if rc != 0:
             raise RuntimeError("shm KV full")
 
     def get_batch(self, keys):

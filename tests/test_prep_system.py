@@ -47,3 +47,35 @@ def test_env_and_memory():
     assert mem.get("MemTotal", 0) > 0
     stats = device_memory_stats()
     assert len(stats) >= 1
+
+
+def test_frequency_remap():
+    """Hot ids become the smallest new ids (bijectively), so zipf-skewed
+    traffic touches a contiguous hot prefix — the layout the streaming
+    engine's skew wins assume (PARITY.md zipf rows, auto-capacity
+    octaves)."""
+    from lightctr_tpu.data.prep import frequency_remap
+
+    rng = np.random.default_rng(0)
+    V = 5000
+    # zipf-ish sample over hashed (shuffled) id space
+    ranks = np.minimum(rng.zipf(1.3, size=(64, 32)) - 1, V - 1)
+    perm = rng.permutation(V)          # hash-like scatter of the ids
+    ids = perm[ranks]
+    mask = (rng.random(ids.shape) > 0.1).astype(np.float32)
+
+    remap = frequency_remap(ids, mask=mask, n_features=V)
+    assert sorted(remap.tolist()) == list(range(V))  # bijection
+    new_ids = remap[ids]
+
+    flat = ids.reshape(-1)[mask.reshape(-1) > 0]
+    nflat = new_ids.reshape(-1)[mask.reshape(-1) > 0]
+    counts = np.bincount(nflat, minlength=V)
+    # frequencies non-increasing in the new id order
+    assert (np.diff(counts) <= 0).all() or (
+        np.sort(counts)[::-1] == counts).all()
+    # the touched set concentrates: max touched new id == n_unique - 1
+    assert nflat.max() == len(np.unique(flat)) - 1
+    # masked-out positions did not contribute counts
+    remap_nomask = frequency_remap(ids, n_features=V)
+    assert not np.array_equal(remap, remap_nomask) or mask.all()

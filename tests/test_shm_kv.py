@@ -51,6 +51,27 @@ def test_full_table_raises():
         kv.close(unlink=True)
 
 
+def test_reserved_sentinel_key_rejected():
+    """key -1 is the EMPTY slot sentinel: before the guard, put(-1)
+    CAS'd -1 -> -1 (trivially succeeding, bumping count on EVERY call)
+    while get(-1) stopped at the first 'empty' probe and reported the
+    row missing — a silent count leak + unreadable row. Both paths must
+    reject it loudly; other negative keys are ordinary."""
+    kv = ShmKV(_name() + "s", capacity=64, dim=2, create=True)
+    try:
+        with pytest.raises(ValueError):
+            kv.put(-1, [1.0, 2.0])
+        with pytest.raises(ValueError):
+            kv.put_batch(np.array([5, -1], np.int64),
+                         np.ones((2, 2), np.float32))
+        assert kv.get(-1) is None
+        assert len(kv) <= 1  # nothing claimed by the rejected puts
+        kv.put(-2, [3.0, 4.0])  # other negatives are fine
+        np.testing.assert_array_equal(kv.get(-2), [3.0, 4.0])
+    finally:
+        kv.close(unlink=True)
+
+
 def test_cross_process_visibility(tmp_path):
     """Trainer-writes / server-reads across REAL process boundaries:
     the child attaches to the segment, verifies the parent's rows,
