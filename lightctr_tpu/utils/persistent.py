@@ -72,11 +72,18 @@ class PersistentKV:
         raise RuntimeError("PersistentKV full")
 
     def put(self, key: int, value) -> None:
+        # key -1 is the EMPTY slot sentinel: a stored -1 row would look
+        # like a free slot to every later probe and be silently evicted
+        # (same guard as the native csrc/shm_kv.cpp)
+        if int(key) == int(self.EMPTY):
+            raise ValueError("key -1 is the reserved EMPTY slot sentinel")
         idx = self._probe(key)
         self.keys.array[idx] = key
         self.values.array[idx] = value
 
     def get(self, key: int, default=None):
+        if int(key) == int(self.EMPTY):
+            return default
         idx = self._probe(key)
         if int(self.keys.array[idx]) == key:
             return np.array(self.values.array[idx])

@@ -104,6 +104,16 @@ def test_persistent_kv(tmp_path):
     kv.flush()
     kv2 = PersistentKV(str(tmp_path / "kv"))
     np.testing.assert_allclose(kv2.get(678), [4.0, 5.0, 6.0])
+    # key -1 is the EMPTY sentinel: a stored -1 row would look free to
+    # later probes and be silently evicted — must be rejected loudly
+    # (mirrors the native shm KV guard, tests/test_shm_kv.py)
+    import pytest
+
+    with pytest.raises(ValueError):
+        kv2.put(-1, [0.0, 0.0, 0.0])
+    assert kv2.get(-1) is None
+    kv2.put(-2, [7.0, 8.0, 9.0])  # other negatives are ordinary keys
+    np.testing.assert_allclose(kv2.get(-2), [7.0, 8.0, 9.0])
 
 
 def test_dag_parity_linear_sigmoid_logloss():
