@@ -60,6 +60,30 @@ def _load_lib():
     ]
     lib.ffm_free.restype = None
     lib.ffm_free.argtypes = [ctypes.c_void_p]
+    _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    _f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.lc_plan_sorted.restype = ctypes.c_int64
+    lib.lc_plan_sorted.argtypes = [
+        _i64p, _f32p, ctypes.c_int64, _i32p, _i32p, _i64p,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int,
+    ]
+    lib.lc_count_unique.restype = ctypes.c_int64
+    lib.lc_count_unique.argtypes = [_i64p, _f32p, ctypes.c_int64]
+    lib.lc_plan_server_create.restype = ctypes.c_void_p
+    lib.lc_plan_server_create.argtypes = [ctypes.c_int, ctypes.c_int]
+    lib.lc_plan_server_submit.restype = ctypes.c_int
+    lib.lc_plan_server_submit.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, _i64p, _f32p, ctypes.c_int64,
+    ]
+    lib.lc_plan_server_wait.restype = ctypes.c_int64
+    lib.lc_plan_server_wait.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, _i32p, _i32p, _i64p,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.lc_plan_server_destroy.restype = None
+    lib.lc_plan_server_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -123,3 +147,124 @@ def load_libffm_native(
         ids=ids, vals=vals, fields=fields, mask=mask,
         labels=labels, nnz=nnz, n_features=nf, n_fields=nfld,
     )
+
+
+# ---------------------------------------------------------------------------
+# Native batch planning (csrc/plan_server.cpp) — the host half of the
+# kernel engines' data path in C++ threads. plan_sorted_core_native is
+# byte-identical to the numpy core of plan_sorted_layout (the composite
+# (id << 20 | position) sort key reproduces numpy's stable order); the
+# PlanServer plans batches AHEAD on a C++ thread pool (ctypes releases
+# the GIL, so planning genuinely overlaps Python/device work).
+
+_PLAN_MAX_N = 1 << 20          # composite-key position budget
+_PLAN_MAX_ID = 1 << 40         # the numpy planner's own sentinel bound
+
+
+def plan_sorted_core_native(flat_ids: np.ndarray, valid: np.ndarray,
+                            n_threads: int = 0):
+    """(perm int32[n], ranks int32[n] with -1 at masked slots,
+    uids int64[n_unique], n_valid) or None when the native library is
+    missing or (n, ids) exceed the composite-key domain."""
+    lib = _load_lib()
+    n = int(flat_ids.size)
+    if lib is None or n == 0 or n > _PLAN_MAX_N:
+        return None
+    ids = np.ascontiguousarray(flat_ids, np.int64)
+    v = np.ascontiguousarray(valid, np.float32).reshape(-1)
+    perm = np.empty(n, np.int32)
+    ranks = np.empty(n, np.int32)
+    uids = np.empty(n, np.int64)
+    n_unique = ctypes.c_int64()
+    n_valid = ctypes.c_int64()
+    status = lib.lc_plan_sorted(
+        ids, v, n, perm, ranks, uids,
+        ctypes.byref(n_unique), ctypes.byref(n_valid), n_threads,
+    )
+    if status != 0:  # ids outside the sentinel domain -> numpy fallback
+        return None
+    return perm, ranks, uids[: n_unique.value], int(n_valid.value)
+
+
+def count_unique_native(flat_ids: np.ndarray, valid: np.ndarray):
+    """Unique masked-in ids via the native hash set; None -> fall back."""
+    lib = _load_lib()
+    n = int(flat_ids.size)
+    if lib is None or n == 0:
+        return None
+    if flat_ids.min() < 0 or flat_ids.max() >= _PLAN_MAX_ID:
+        return None
+    ids = np.ascontiguousarray(flat_ids, np.int64)
+    v = np.ascontiguousarray(valid, np.float32).reshape(-1)
+    return int(lib.lc_count_unique(ids, v, n))
+
+
+class PlanServer:
+    """Plan-ahead service on C++ worker threads (bounded queue).
+
+    submit(ticket, ids, valid) copies the batch into native memory and
+    returns immediately; wait(ticket) blocks until that plan is ready
+    and returns the same tuple as plan_sorted_core_native. The reference
+    plans batches on its ThreadPool inside the trainer
+    (distributed_algo_abst.h:181-190); this is that capability as a
+    service the Prefetcher can pipeline through.
+
+    Backpressure contract: at most `slots` tickets may be outstanding
+    (submitted and not yet wait()ed — DONE plans hold their slot until
+    collected, bounding result memory). submit blocks while the table
+    is full, so interleave: submit ahead by <= slots, then
+    wait-one/submit-one. Submitting slots+1 tickets before the first
+    wait from a single thread deadlocks by construction.
+    """
+
+    def __init__(self, n_threads: int = 0, slots: int = 4):
+        lib = _load_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._handle = lib.lc_plan_server_create(n_threads, slots)
+        self._sizes: dict[int, int] = {}
+
+    def submit(self, ticket: int, flat_ids: np.ndarray, valid: np.ndarray):
+        n = int(flat_ids.size)
+        if n == 0 or n > _PLAN_MAX_N:
+            raise ValueError(f"batch size {n} outside the native plan domain")
+        ids = np.ascontiguousarray(flat_ids, np.int64)
+        v = np.ascontiguousarray(valid, np.float32).reshape(-1)
+        rc = self._lib.lc_plan_server_submit(self._handle, ticket, ids, v, n)
+        if rc != 0:
+            raise RuntimeError(f"submit failed (rc={rc}, ticket={ticket})")
+        self._sizes[ticket] = n
+
+    def wait(self, ticket: int):
+        n = self._sizes.pop(ticket)
+        perm = np.empty(n, np.int32)
+        ranks = np.empty(n, np.int32)
+        uids = np.empty(n, np.int64)
+        n_unique = ctypes.c_int64()
+        n_valid = ctypes.c_int64()
+        status = self._lib.lc_plan_server_wait(
+            self._handle, ticket, perm, ranks, uids,
+            ctypes.byref(n_unique), ctypes.byref(n_valid),
+        )
+        if status != 0:
+            raise RuntimeError(f"plan failed (status={status}, ticket={ticket})")
+        return perm, ranks, uids[: n_unique.value], int(n_valid.value)
+
+    def close(self):
+        if self._handle is not None:
+            self._lib.lc_plan_server_destroy(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

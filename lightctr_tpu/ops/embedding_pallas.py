@@ -392,13 +392,32 @@ def plan_sorted_layout(
     assert n % TILE == 0, f"positions {n} not a multiple of {TILE}"
 
     sentinel = np.int64(1 << 40)
-    keyed = np.where(v, flat, sentinel)
-    perm = np.argsort(keyed, kind="stable")
-    sorted_ids = keyed[perm]
-    is_new = np.concatenate([[True], sorted_ids[1:] != sorted_ids[:-1]])
-    is_new &= sorted_ids != sentinel
-    ranks = np.cumsum(is_new) - 1
-    n_unique = int(is_new.sum())
+    # native C++ planner when available (csrc/plan_server.cpp — chunked
+    # parallel sort, byte-identical outputs, tests/test_plan_native.py);
+    # numpy stays the reference implementation and the fallback. Both
+    # branches produce: perm (stable sort order, masked slots last),
+    # ranks_m1 (rank per sorted position, -1 at masked slots),
+    # uids_compact (ascending unique ids), n_valid.
+    core = None
+    try:
+        from lightctr_tpu.data.native import plan_sorted_core_native
+
+        core = plan_sorted_core_native(flat, v)
+    except Exception:
+        core = None
+    if core is not None:
+        perm, ranks_m1, uids_compact, n_valid = core
+        n_unique = int(uids_compact.size)
+    else:
+        keyed = np.where(v, flat, sentinel)
+        perm = np.argsort(keyed, kind="stable")
+        sorted_ids = keyed[perm]
+        is_new = np.concatenate([[True], sorted_ids[1:] != sorted_ids[:-1]])
+        is_new &= sorted_ids != sentinel
+        ranks_m1 = np.where(sorted_ids == sentinel, -1, np.cumsum(is_new) - 1)
+        n_unique = int(is_new.sum())
+        uids_compact = sorted_ids[is_new]
+        n_valid = int(v.sum())
     if n_rows_pad is None:
         m = 2 * TILE
         if n_rows_multiple:
@@ -410,12 +429,11 @@ def plan_sorted_layout(
     )
 
     uids = np.zeros(n_rows_pad, np.int64)
-    uids[ranks[is_new]] = sorted_ids[is_new]
+    uids[:n_unique] = uids_compact  # ranks of first occurrences are 0..n_unique-1
     pad_rank = n_rows_pad - 1
-    ranks_sorted = np.where(sorted_ids == sentinel, pad_rank, ranks).astype(np.int32)
+    ranks_sorted = np.where(ranks_m1 < 0, pad_rank, ranks_m1).astype(np.int32)
 
     if trim:
-        n_valid = int(v.sum())
         n_pos = max(((n_valid + TILE - 1) // TILE) * TILE, TILE)
         perm = perm[:n_pos]
         ranks_sorted = ranks_sorted[:n_pos]

@@ -96,8 +96,7 @@ def _stream_epochs(ds, state, batch_size, epochs, seed, cap_mult, cap_max,
         # shuffled and streamed in-graph (fm_kernel.make_streaming_run)
         n = len(ds)
         n_pad = -(-n // batch_size) * batch_size
-        nu_total = len(np.unique(ds.ids.reshape(-1)[
-            ds.mask.reshape(-1) > 0]))
+        nu_total = _count_unique(ds.ids.reshape(-1), ds.mask.reshape(-1))
         cap = _capacity_octave(min(nu_total, batch_size * ds.ids.shape[1]),
                                cap_mult, cap_max)
 
@@ -127,7 +126,7 @@ def _stream_epochs(ds, state, batch_size, epochs, seed, cap_mult, cap_max,
 
     def place(b):
         ids = b["ids"].astype(np.int32)
-        nu = len(np.unique(ids[b["mask"] > 0]))   # Prefetcher thread
+        nu = _count_unique(ids, b["mask"])        # Prefetcher thread
         return _capacity_octave(nu, cap_mult, cap_max), tuple(
             jnp.asarray(b[k].astype(np.int32)) if k in int_keys
             else jnp.asarray(b[k])
@@ -145,6 +144,25 @@ def _stream_epochs(ds, state, batch_size, epochs, seed, cap_mult, cap_max,
         if log:
             log(f"epoch {epoch}: loss={epoch_losses[-1]:.5f}")
     return state, epoch_losses
+
+
+def _count_unique(ids, mask) -> int:
+    """Exact unique masked-in id count for the capacity octaves. Uses
+    the native hash-set counter (csrc/plan_server.cpp lc_count_unique,
+    O(n)) when the library is present; numpy's sort-based unique is the
+    fallback and the reference implementation (tests/test_plan_native.py
+    pins equality)."""
+    flat = np.asarray(ids).reshape(-1)
+    m = np.asarray(mask).reshape(-1)
+    try:
+        from lightctr_tpu.data.native import count_unique_native
+
+        nu = count_unique_native(flat.astype(np.int64), m)
+        if nu is not None:
+            return nu
+    except Exception:
+        pass
+    return len(np.unique(flat[m > 0]))
 
 
 def _capacity_octave(n_unique: int, mult: int, cap_max: int) -> int:

@@ -1,0 +1,144 @@
+"""Native batch planner (csrc/plan_server.cpp) equivalence tests.
+
+The C++ planner must be BYTE-IDENTICAL to the numpy core of
+ops/embedding_pallas.plan_sorted_layout — the composite (id << 20 |
+position) sort key reproduces numpy's kind="stable" argsort order, so
+perm/ranks/uids all match exactly. Reference analogue: LightCTR plans
+batches (feature dedup/sort) on host ThreadPool threads inside
+batchGradCompute (/root/reference/LightCTR/distributed_algo_abst.h:181-190);
+the plan server is that capability as a pipelined service.
+"""
+
+import numpy as np
+import pytest
+
+from lightctr_tpu.data import native as N
+from lightctr_tpu.ops.embedding_pallas import plan_sorted_layout
+from lightctr_tpu.train.kernel_engine import _count_unique
+
+pytestmark = pytest.mark.skipif(
+    not N.native_available(), reason="native library unavailable"
+)
+
+
+def _numpy_core(flat, v):
+    sentinel = np.int64(1 << 40)
+    keyed = np.where(v, flat, sentinel)
+    perm = np.argsort(keyed, kind="stable")
+    s = keyed[perm]
+    is_new = np.concatenate([[True], s[1:] != s[:-1]])
+    is_new &= s != sentinel
+    ranks = np.where(s == sentinel, -1, np.cumsum(is_new) - 1)
+    return perm, ranks, s[is_new], int(v.sum())
+
+
+@pytest.mark.parametrize(
+    "B,L,vocab,maskp",
+    [
+        (8, 64, 100, 0.3),     # heavy duplication + holes
+        (32, 128, 10_000, 0.0),  # no masking
+        (4, 512, 50, 0.9),     # mostly masked
+        (1, 512, 1, 0.0),      # single id everywhere
+        (16, 96, 1 << 39, 0.5),  # near the sentinel id bound
+    ],
+)
+def test_plan_sorted_core_matches_numpy(B, L, vocab, maskp):
+    rng = np.random.default_rng(B * 1000 + L)
+    ids = rng.integers(0, vocab, (B, L)).astype(np.int64)
+    mask = (rng.random((B, L)) >= maskp).astype(np.float32)
+    flat, v = ids.reshape(-1), mask.reshape(-1) > 0
+    core = N.plan_sorted_core_native(flat, v)
+    assert core is not None
+    perm, ranks, uids, n_valid = core
+    perm_np, ranks_np, uids_np, n_valid_np = _numpy_core(flat, v)
+    np.testing.assert_array_equal(perm, perm_np)
+    np.testing.assert_array_equal(ranks, ranks_np)
+    np.testing.assert_array_equal(uids, uids_np)
+    assert n_valid == n_valid_np
+
+
+def test_all_masked_batch():
+    flat = np.arange(512, dtype=np.int64)
+    v = np.zeros(512, bool)
+    perm, ranks, uids, n_valid = N.plan_sorted_core_native(flat, v)
+    assert len(uids) == 0 and n_valid == 0
+    assert (ranks == -1).all()
+    # masked slots keep stable position order in the sorted tail
+    np.testing.assert_array_equal(perm, np.arange(512, dtype=np.int32))
+
+
+def test_domain_guards_fall_back():
+    # id at/above the sentinel bound -> None (numpy fallback handles it)
+    flat = np.array([0, 1 << 40], np.int64)
+    assert N.plan_sorted_core_native(flat, np.ones(2, bool)) is None
+    flat = np.array([0, -1], np.int64)
+    assert N.plan_sorted_core_native(flat, np.ones(2, bool)) is None
+    # masked-OUT out-of-domain ids are fine — numpy never inspects them
+    core = N.plan_sorted_core_native(
+        np.array([5, -1], np.int64), np.array([True, False])
+    )
+    assert core is not None
+    np.testing.assert_array_equal(core[2], [5])
+
+
+def test_plan_sorted_layout_native_equals_numpy(monkeypatch):
+    """The full layout dict must not depend on which core ran."""
+    rng = np.random.default_rng(7)
+    ids = rng.integers(0, 3000, (8, 128)).astype(np.int64)
+    mask = (rng.random((8, 128)) > 0.25).astype(np.float32)
+
+    native_plan = plan_sorted_layout(ids, mask)
+
+    import lightctr_tpu.data.native as native_mod
+
+    monkeypatch.setattr(native_mod, "plan_sorted_core_native",
+                        lambda *a, **k: None)
+    numpy_plan = plan_sorted_layout(ids, mask)
+
+    for key in ("perm", "inv", "ranks_sorted", "tile_base", "uids"):
+        np.testing.assert_array_equal(native_plan[key], numpy_plan[key])
+    for key in ("n_unique", "pad_rank", "n_rows_pad"):
+        assert native_plan[key] == numpy_plan[key]
+
+
+def test_count_unique_native_and_engine_helper():
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, 500, 4096).astype(np.int64)
+    mask = (rng.random(4096) > 0.4).astype(np.float32)
+    expected = len(np.unique(ids[mask > 0]))
+    assert N.count_unique_native(ids, mask) == expected
+    assert _count_unique(ids, mask) == expected
+    # empty / all-masked
+    assert _count_unique(ids, np.zeros_like(mask)) == 0
+
+
+def test_plan_server_pipelined():
+    rng = np.random.default_rng(11)
+    batches = []
+    for _ in range(8):
+        ids = rng.integers(0, 5000, 2048).astype(np.int64)
+        vv = (rng.random(2048) > 0.2).astype(np.float32)
+        batches.append((ids, vv))
+    with N.PlanServer(n_threads=3, slots=4) as srv:
+        # the documented pattern: ahead-by-slots, then wait-one/submit-one
+        for t in range(4):
+            srv.submit(t, *batches[t])
+        for t in range(8):
+            perm, ranks, uids, n_valid = srv.wait(t)
+            if t + 4 < 8:
+                srv.submit(t + 4, *batches[t + 4])
+            ref = _numpy_core(batches[t][0], batches[t][1] > 0)
+            np.testing.assert_array_equal(perm, ref[0])
+            np.testing.assert_array_equal(ranks, ref[1])
+            np.testing.assert_array_equal(uids, ref[2])
+            assert n_valid == ref[3]
+
+
+def test_plan_server_duplicate_ticket_rejected():
+    with N.PlanServer(n_threads=1, slots=2) as srv:
+        ids = np.arange(64, dtype=np.int64)
+        vv = np.ones(64, np.float32)
+        srv.submit(0, ids, vv)
+        with pytest.raises(RuntimeError):
+            srv.submit(0, ids, vv)
+        srv.wait(0)
