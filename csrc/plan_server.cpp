@@ -293,3 +293,55 @@ void lc_plan_server_destroy(void* srv_) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// GBM gradient/hessian histogram (the grower's per-level hot loop,
+// models/gbm.py _histogram): hist[comp[r], f, bins[r, f]] += (g[r], h[r])
+// for rows with comp[r] >= 0. Feature-parallel across threads (each
+// thread owns a contiguous feature range, so all writes are disjoint —
+// no atomics). The XLA scatter-add stays the reference implementation
+// and the fallback (tests pin equality).
+
+extern "C" int64_t lc_gbm_hist(const uint8_t* bins, const float* g,
+                               const float* h, const int32_t* comp,
+                               int64_t n_rows, int64_t n_feats,
+                               int64_t n_bins, int64_t n_slots,
+                               float* out /* [n_slots, F, n_bins, 2] */,
+                               int n_threads) {
+  // zero the output (caller may pass uninitialised memory)
+  std::memset(out, 0, size_t(n_slots * n_feats * n_bins * 2) * sizeof(float));
+  // precompute the selected rows once (shared, read-only)
+  std::vector<int32_t> rows;
+  rows.reserve(size_t(n_rows));
+  for (int64_t r = 0; r < n_rows; ++r) {
+    if (comp[r] >= 0) {
+      if (comp[r] >= n_slots) return -1;
+      rows.push_back(int32_t(r));
+    }
+  }
+  int t = std::min<int64_t>(hw_threads(n_threads),
+                            std::max<int64_t>(1, n_feats / 16));
+  auto work = [&](int64_t f0, int64_t f1) {
+    for (int32_t r : rows) {
+      const uint8_t* brow = bins + int64_t(r) * n_feats;
+      const float gr = g[r], hr = h[r];
+      float* slot = out + (int64_t(comp[r]) * n_feats) * n_bins * 2;
+      for (int64_t f = f0; f < f1; ++f) {
+        float* cell = slot + (f * n_bins + brow[f]) * 2;
+        cell[0] += gr;
+        cell[1] += hr;
+      }
+    }
+  };
+  if (t <= 1) {
+    work(0, n_feats);
+  } else {
+    std::vector<std::thread> pool;
+    for (int i = 0; i < t; ++i) {
+      int64_t f0 = n_feats * i / t, f1 = n_feats * (i + 1) / t;
+      pool.emplace_back(work, f0, f1);
+    }
+    for (auto& th : pool) th.join();
+  }
+  return 0;
+}

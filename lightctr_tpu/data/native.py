@@ -84,6 +84,13 @@ def _load_lib():
     ]
     lib.lc_plan_server_destroy.restype = None
     lib.lc_plan_server_destroy.argtypes = [ctypes.c_void_p]
+    lib.lc_gbm_hist.restype = ctypes.c_int64
+    lib.lc_gbm_hist.argtypes = [
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        _f32p, _f32p, _i32p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        _f32p, ctypes.c_int,
+    ]
     _lib = lib
     return lib
 
@@ -268,3 +275,28 @@ class PlanServer:
             self.close()
         except Exception:
             pass
+
+
+def gbm_hist_native(bins_u8: np.ndarray, g: np.ndarray, h: np.ndarray,
+                    comp: np.ndarray, n_slots: int, n_bins: int,
+                    n_threads: int = 0):
+    """GBM G/H histogram on C++ threads (csrc/plan_server.cpp
+    lc_gbm_hist): hist[comp[r], f, bins[r, f]] += (g[r], h[r]) for rows
+    with comp[r] >= 0 (negative = not in a direct slot). Returns
+    [n_slots, F, n_bins, 2] float32, or None to fall back to the XLA
+    scatter-add (models/gbm._histogram, the reference implementation)."""
+    lib = _load_lib()
+    if lib is None or bins_u8.dtype != np.uint8:
+        return None
+    n_rows, n_feats = bins_u8.shape
+    bins_c = np.ascontiguousarray(bins_u8)
+    out = np.empty((n_slots, n_feats, n_bins, 2), np.float32)
+    status = lib.lc_gbm_hist(
+        bins_c, np.ascontiguousarray(g, np.float32),
+        np.ascontiguousarray(h, np.float32),
+        np.ascontiguousarray(comp, np.int32),
+        n_rows, n_feats, n_bins, n_slots, out, n_threads,
+    )
+    if status != 0:
+        return None
+    return out

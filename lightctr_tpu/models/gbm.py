@@ -28,6 +28,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import heapq
+import os
 
 import numpy as np
 
@@ -180,13 +181,36 @@ class _DenseSource:
         self.n_feats = bin_np.shape[1]
 
     def set_grads(self, g_np, h_np):
+        self.g_np = np.asarray(g_np, np.float32)
+        self.h_np = np.asarray(h_np, np.float32)
         self.g_d = jnp.asarray(g_np)
         self.h_d = jnp.asarray(h_np)
 
     def hist(self, node_of_row: np.ndarray, lut: np.ndarray, n_direct: int):
         """[n_direct, F, B, 2] histograms for the nodes lut maps to compact
-        slots; rows of other nodes are compacted away (not scattered)."""
+        slots; rows of other nodes are compacted away (not scattered).
+
+        Runs on the native C++ feature-parallel histogram when the
+        library is present (csrc/plan_server.cpp lc_gbm_hist — no slot
+        bucketing or device round trip needed, so no compile-per-level
+        concern either); the XLA scatter-add below stays the reference
+        implementation and the fallback (equality pinned in
+        tests/test_plan_native.py)."""
         comp = lut[node_of_row]          # node -1 reads lut[-1] = trash
+        if self.bin_np.dtype == np.uint8 and not os.environ.get(
+                "LIGHTCTR_NO_NATIVE_GBM"):
+            try:
+                from lightctr_tpu.data.native import gbm_hist_native
+
+                out = gbm_hist_native(
+                    self.bin_np, self.g_np, self.h_np,
+                    np.where(comp == n_direct, -1, comp),
+                    n_slots=n_direct, n_bins=self.n_bins,
+                )
+            except Exception:
+                out = None
+            if out is not None:
+                return out
         sel = np.flatnonzero(comp != n_direct)
         npad = _bucket(len(sel))
         # node-slot axis bucketed too: n_direct changes every level, and

@@ -142,3 +142,47 @@ def test_plan_server_duplicate_ticket_rejected():
         with pytest.raises(RuntimeError):
             srv.submit(0, ids, vv)
         srv.wait(0)
+
+
+def test_gbm_hist_native_matches_xla():
+    import jax.numpy as jnp
+
+    from lightctr_tpu.data.native import gbm_hist_native
+    from lightctr_tpu.models.gbm import _histogram
+
+    rng = np.random.default_rng(0)
+    N, F, B, M = 500, 37, 16, 6
+    bins = rng.integers(0, B, (N, F)).astype(np.uint8)
+    g = rng.normal(size=N).astype(np.float32)
+    h = rng.random(N).astype(np.float32)
+    comp = rng.integers(-1, M, N).astype(np.int32)  # -1 = not selected
+    out = gbm_hist_native(bins, g, h, comp, n_slots=M, n_bins=B)
+    assert out is not None
+    sel = np.flatnonzero(comp >= 0)
+    ref = np.asarray(
+        _histogram(jnp.asarray(comp[sel]), jnp.asarray(bins[sel]),
+                   jnp.asarray(g[sel]), jnp.asarray(h[sel]), M, B)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_gbm_fit_native_hist_matches_fallback(monkeypatch):
+    """Whole-tree growth must not depend on which histogram ran."""
+    from lightctr_tpu.models.gbm import GBM, GBMConfig
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(300, 12)).astype(np.float32)
+    y = (x[:, 0] + 0.5 * x[:, 3] > 0).astype(np.int32)
+    cfg = GBMConfig(n_rounds=3, max_depth=4, n_bins=16, n_classes=2,
+                    subsample=1.0, colsample=1.0, seed=0)
+
+    m_native = GBM(cfg)
+    m_native.fit(x, y)
+    p_native = m_native.predict_proba(x)
+
+    monkeypatch.setenv("LIGHTCTR_NO_NATIVE_GBM", "1")
+    m_xla = GBM(cfg)
+    m_xla.fit(x, y)
+    p_xla = m_xla.predict_proba(x)
+
+    np.testing.assert_allclose(p_native, p_xla, rtol=1e-5, atol=1e-6)
