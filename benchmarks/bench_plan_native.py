@@ -29,14 +29,21 @@ def best_of(f, n=7):
 
 
 def numpy_core(flat, v):
+    # the FULL fallback branch of plan_sorted_layout (embedding_pallas.py)
+    # — the native side is timed producing perm, ranks, uids AND n_valid,
+    # so the numpy baseline must compute all four too (advisor r3: an
+    # earlier version dropped ranks/uids/n_valid and flattered the ratio)
     sentinel = np.int64(1 << 40)
     keyed = np.where(v, flat, sentinel)
     perm = np.argsort(keyed, kind="stable")
-    s = keyed[perm]
-    is_new = np.concatenate([[True], s[1:] != s[:-1]])
-    is_new &= s != sentinel
-    np.cumsum(is_new)
-    return perm
+    sorted_ids = keyed[perm]
+    is_new = np.concatenate([[True], sorted_ids[1:] != sorted_ids[:-1]])
+    is_new &= sorted_ids != sentinel
+    ranks_m1 = np.where(sorted_ids == sentinel, -1, np.cumsum(is_new) - 1)
+    n_unique = int(is_new.sum())
+    uids_compact = sorted_ids[is_new]
+    n_valid = int(v.sum())
+    return perm, ranks_m1, uids_compact, n_unique, n_valid
 
 
 def main():

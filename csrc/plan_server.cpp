@@ -145,14 +145,19 @@ int64_t lc_plan_sorted(const int64_t* ids, const float* valid, int64_t n,
 // means empty; ~O(n) vs numpy's O(n log n) sort-based unique.
 int64_t lc_count_unique(const int64_t* ids, const float* valid, int64_t n) {
   uint64_t cap = 16;
-  while (cap < uint64_t(n) * 2) cap <<= 1;
+  int log2_cap = 4;
+  while (cap < uint64_t(n) * 2) { cap <<= 1; ++log2_cap; }
   std::vector<uint64_t> table(cap, 0);
   uint64_t mask = cap - 1;
   int64_t count = 0;
   for (int64_t i = 0; i < n; ++i) {
     if (valid[i] <= 0.0f) continue;
     uint64_t key = uint64_t(ids[i]) + 1;
-    uint64_t h = (key * 0x9E3779B97F4A7C15ULL) & mask;
+    // high bits of the multiplicative hash: the low k bits of an
+    // odd-multiplier product depend only on the low k bits of the key,
+    // so `& mask` would collide every id congruent mod capacity into
+    // one probe chain (O(n^2) for strided/aligned id patterns)
+    uint64_t h = (key * 0x9E3779B97F4A7C15ULL) >> (64 - log2_cap);
     for (;;) {
       uint64_t cur = table[h];
       if (cur == key) break;

@@ -25,23 +25,65 @@ _LIB_PATH = os.path.join(_CSRC, "liblightctr_native.so")
 _lib = None
 
 
+def _run_build() -> bool:
+    try:
+        subprocess.run(
+            ["sh", os.path.join(_CSRC, "build.sh")],
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except Exception:
+        return False
+
+
 def _load_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(
-                ["sh", os.path.join(_CSRC, "build.sh")],
-                check=True,
-                capture_output=True,
-            )
-        except Exception:
-            return None
+    if not os.path.exists(_LIB_PATH) and not _run_build():
+        return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
+    # A stale pre-plan-server .so loads fine but lacks the newer symbols
+    # (lc_plan_sorted & co) — binding them raises AttributeError. Detect
+    # that, rebuild ONCE, and reload; if the rebuild can't produce the
+    # symbols either, fall back to the pure-Python paths (return None)
+    # rather than letting the AttributeError escape into callers.
+    if not hasattr(lib, "lc_plan_sorted") or not hasattr(lib, "lc_gbm_hist"):
+        # dlclose for real: glibc dedupes dlopen by pathname, so without
+        # this the reload below would hand back the stale handle
+        import _ctypes
+
+        handle = lib._handle
+        del lib
+        try:
+            _ctypes.dlclose(handle)
+        except OSError:
+            pass
+        try:
+            os.remove(_LIB_PATH)
+        except OSError:
+            return None
+        if not _run_build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        if not hasattr(lib, "lc_plan_sorted"):
+            return None
+    try:
+        _bind(lib)
+    except AttributeError:
+        return None
+    _lib = lib
+    return lib
+
+
+def _bind(lib) -> None:
     lib.ffm_parse.restype = ctypes.c_void_p
     lib.ffm_parse.argtypes = [ctypes.c_char_p, ctypes.c_int]
     for fn in ("ffm_n_rows", "ffm_max_id", "ffm_max_field", "ffm_max_nnz"):
@@ -91,8 +133,6 @@ def _load_lib():
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         _f32p, ctypes.c_int,
     ]
-    _lib = lib
-    return lib
 
 
 def native_available() -> bool:

@@ -194,8 +194,13 @@ class _DenseSource:
         library is present (csrc/plan_server.cpp lc_gbm_hist — no slot
         bucketing or device round trip needed, so no compile-per-level
         concern either); the XLA scatter-add below stays the reference
-        implementation and the fallback (equality pinned in
-        tests/test_plan_native.py)."""
+        implementation and the fallback. The two accumulate g/h in
+        different float32 summation orders (native: row order per
+        feature; XLA: scatter order), so histograms agree only to ULPs
+        — numerical closeness pinned at rtol 1e-5 in
+        tests/test_plan_native.py, not bit equality. Near-tie split
+        gains can therefore pick different features depending on
+        whether the native library is present."""
         comp = lut[node_of_row]          # node -1 reads lut[-1] = trash
         if self.bin_np.dtype == np.uint8 and not os.environ.get(
                 "LIGHTCTR_NO_NATIVE_GBM"):

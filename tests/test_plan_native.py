@@ -186,3 +186,41 @@ def test_gbm_fit_native_hist_matches_fallback(monkeypatch):
     p_xla = m_xla.predict_proba(x)
 
     np.testing.assert_allclose(p_native, p_xla, rtol=1e-5, atol=1e-6)
+
+
+def test_stale_library_auto_rebuild(tmp_path):
+    """A pre-plan-server .so (has ffm_parse, lacks lc_plan_sorted) must be
+    detected, rebuilt once, and reloaded — not crash symbol binding with
+    AttributeError (advisor r3, medium). Runs in a subprocess so the
+    parent's cached handle stays intact."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    if shutil.which("g++") is None:
+        pytest.skip("no compiler")
+    backup = tmp_path / "liblightctr_native.so.bak"
+    shutil.copy(N._LIB_PATH, backup)
+    try:
+        # overwrite with a stale build (parser only, no plan symbols)
+        subprocess.run(
+            ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-pthread",
+             "-o", N._LIB_PATH,
+             str(os.path.join(N._CSRC, "libffm_parser.cpp"))],
+            check=True, capture_output=True,
+        )
+        code = (
+            "from lightctr_tpu.data import native\n"
+            "import numpy as np\n"
+            "assert native.native_available(), 'stale .so not recovered'\n"
+            "ids = np.arange(256, dtype=np.int64)\n"
+            "v = np.ones(256, np.float32)\n"
+            "assert native.plan_sorted_core_native(ids, v) is not None\n"
+        )
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, env=env)
+        assert out.returncode == 0, out.stderr
+    finally:
+        shutil.copy(backup, N._LIB_PATH)
