@@ -35,7 +35,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SEG = "/lightctr_live_fm_example"
+SEG = os.environ.get("LIGHTCTR_LIVE_SEG", "/lightctr_live_fm_example")
 # reserved metadata keys, far above any feature id (the KV itself
 # reserves -1 as its EMPTY slot sentinel and rejects it)
 W0_KEY = 1 << 62          # the global bias row
