@@ -164,6 +164,100 @@ def production_main():
     print(json.dumps(out))
 
 
+def extra_main():
+    """Driver-tracked rows for the OTHER flagship configs (VERDICT r3
+    missing #1/#7): BASELINE.json's metric is "FM + NFM" and configs 4-5
+    center on NFM/W&D, but until r4 bench.py only emitted FM/FFM.
+
+      nfm_step_ms / nfm_examples_per_sec  full-batch design-matrix NFM
+                                          (k=8, hidden 32 — the 0.552 ms
+                                          xmat path, scan-amortised like
+                                          the FM headline)
+      widedeep_examples_per_sec           the W&D head-to-head config (30
+                                          epochs, batch 50, matched SGD —
+                                          the regime the reference needs
+                                          its PS cluster for; PARITY.md:
+                                          one chip 107x its best cluster)
+      fm_k64_step_ms / fm_k64_mfu_pct     the reference's own widest
+                                          vs_libfm config (k=64): shows
+                                          whether the 2.43%-MFU headline
+                                          is the ENGINE or the D=17
+                                          narrow-matmul model shape
+    """
+    import time as _time
+
+    import jax
+
+    from lightctr_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from lightctr_tpu import optim
+    from lightctr_tpu.data import load_libffm
+    from lightctr_tpu.models import fm_kernel, nfm_kernel, widedeep
+    from lightctr_tpu.train.loop import train_model
+
+    ds = load_libffm("/root/reference/data/train_sparse.csv")
+    B = len(ds)
+    out = {}
+    plan = fm_kernel.plan_batch(ds.ids.astype(np.int64), ds.vals, ds.mask,
+                                ds.labels)
+
+    def time_scan(step, state, n_steps):
+        run = fm_kernel.make_multi_step(step, n_steps)
+        _, losses = run(state)
+        float(losses[-1])                  # compile + sync
+        best = float("inf")
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            _, losses = run(state)
+            float(losses[-1])
+            best = min(best, (_time.perf_counter() - t0) / n_steps)
+        return best
+
+    # NFM: full-batch design-matrix step (bi-interaction pooling + MLP
+    # tower, train_nfm_algo.cpp:78-170 capability)
+    ncfg = nfm_kernel.KernelNFMConfig(
+        n_features=ds.n_features, factor=8, hidden=(32,),
+        learning_rate=0.05, xmat=True, exact=True,
+    )
+    nstate = nfm_kernel.init(jax.random.PRNGKey(0), ncfg, plan)
+    dt = time_scan(nfm_kernel.make_train_step(ncfg, plan), nstate, 200)
+    out["nfm_step_ms"] = round(dt * 1e3, 3)
+    out["nfm_examples_per_sec"] = round(B / dt, 1)
+    print(json.dumps(out), flush=True)
+
+    # FM k=64 (vs_libfm's widest config): same engine, 129-wide matmuls
+    cfg64 = fm_kernel.KernelFMConfig(
+        n_features=ds.n_features, factor=64, learning_rate=0.05, xmat=True,
+    )
+    st64 = fm_kernel.init(jax.random.PRNGKey(0), cfg64, plan)
+    dt64 = time_scan(fm_kernel.make_train_step(cfg64, plan), st64, 200)
+    # 4 count-matrix passes: fwd Crow@rows_aug (D=K+1) + Crow2@V^2 (D=K)
+    # + the two bwd transposes; 2 FLOPs/MAC
+    flops64 = 2 * 2 * plan.b_pad * plan.n_rows_pad * (65 + 64)
+    out["fm_k64_step_ms"] = round(dt64 * 1e3, 3)
+    out["fm_k64_examples_per_sec"] = round(B / dt64, 1)
+    out["fm_k64_mfu_pct"] = round(flops64 / dt64 / 197e12 * 100.0, 3)
+    print(json.dumps(out), flush=True)
+
+    # W&D: the head-to-head regime (embed 4, 272->50 tanh ->1, batch 50,
+    # matched SGD 0.05, 30 epochs — distributed_algo_abst.h:93-117)
+    wcfg = widedeep.WideDeepConfig(
+        n_features=ds.n_features, n_fields=ds.n_fields, embed_dim=4,
+        hidden=(50,), activation="tanh")
+    tx = optim.sgd(0.05)
+    train_model(widedeep, wcfg, ds, tx, epochs=1, batch_size=50, seed=0,
+                log=None)                  # warm compile
+    t0 = _time.perf_counter()
+    train_model(widedeep, wcfg, ds, tx, epochs=30, batch_size=50, seed=0,
+                log=None)
+    wall = _time.perf_counter() - t0
+    out["widedeep_examples_per_sec"] = round(B * 30 / wall, 1)
+    out["widedeep_wall_s_30ep"] = round(wall, 2)
+    print(json.dumps(out))
+
+
 def run_bounded_subprocess(flag, fallback):
     """Run this file with `flag` in a BOUNDED subprocess (cold compiles
     over the tunnel must never suppress the primary metric)."""
@@ -190,6 +284,11 @@ def main():
     ffm = run_bounded_subprocess("--ffm", {
         "ffm_step_ms": None, "ffm_examples_per_sec": None,
         "ffm_vs_reference_ffm": None,
+    })
+    extra = run_bounded_subprocess("--extra", {
+        "nfm_step_ms": None, "nfm_examples_per_sec": None,
+        "fm_k64_step_ms": None, "fm_k64_mfu_pct": None,
+        "widedeep_examples_per_sec": None,
     })
 
     import jax
@@ -269,6 +368,7 @@ def main():
         "mfu_pct": round(mfu_pct, 3),
         "finewin_step_ms": round(dt_fw * 1e3, 3),
         **ffm,
+        **extra,
         **prod,
     }))
 
@@ -278,5 +378,7 @@ if __name__ == "__main__":
         production_main()
     elif "--ffm" in sys.argv:
         ffm_main()
+    elif "--extra" in sys.argv:
+        extra_main()
     else:
         main()

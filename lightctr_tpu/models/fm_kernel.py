@@ -70,6 +70,15 @@ class KernelFMConfig:
     # (benchmarks/bench_fine_windows.py). Needs a plan built with
     # plan_batch(..., fine=True) (n_rows_pad % 640 == 0).
     fine: bool = False
+    # row_width: packed row layout is [w | v(factor) | pad]. The Pallas
+    # kernel family is compiled at D=16 (factor <= 15, ops/fm_fused_pallas
+    # K.D); wider factors (the reference's vs_libfm goes to k=64) run on
+    # the width-agnostic design-matrix (xmat) path and pad the row to the
+    # next multiple of 16 lanes.
+    @property
+    def row_width(self) -> int:
+        return max(16, (1 + self.factor + 15) // 16 * 16)
+
     # xmat=True (full-batch make_train_step only): the design-matrix
     # formulation. FM's forward AND backward only ever consume per-row
     # aggregates (s = sum x*V, ss = sum x^2*V^2, and their transposes) —
@@ -162,7 +171,7 @@ def plan_batch(ids, vals, mask, labels, row_mask=None, n_rows_pad=None,
 
 def init(rng: jax.Array, cfg: KernelFMConfig, plan: BatchPlan) -> KernelFMState:
     R = plan.n_rows_pad
-    rows = jnp.zeros((R, K.D))
+    rows = jnp.zeros((R, cfg.row_width))
     v = jax.random.normal(rng, (R, cfg.factor)) * cfg.init_std
     rows = rows.at[:, 1 : 1 + cfg.factor].set(v)
     # padding rank row stays zero
@@ -171,7 +180,7 @@ def init(rng: jax.Array, cfg: KernelFMConfig, plan: BatchPlan) -> KernelFMState:
         w0=jnp.zeros(()),
         w0_accum=jnp.zeros(()),
         rows=rows,
-        accum=jnp.zeros((R, K.D)),
+        accum=jnp.zeros((R, cfg.row_width)),
         ftrl_z=jnp.zeros((R, 1)),
         ftrl_n=jnp.zeros((R, 1)),
     )
@@ -644,6 +653,10 @@ def make_train_step(cfg: KernelFMConfig, plan: BatchPlan):
 
     if cfg.xmat:
         return _make_xmat_train_step(cfg, plan, labels_p, rmask_p, n_valid)
+    if cfg.factor + 1 > K.D:
+        raise ValueError(
+            f"factor={cfg.factor} exceeds the Pallas kernel row width "
+            f"(K.D={K.D}); use cfg.xmat=True for wide factors")
 
     @jax.jit
     def step(state: KernelFMState, hyper=None):

@@ -144,3 +144,57 @@ def test_nfm_xmat_matches_kernel_step():
     np.testing.assert_allclose(trajs[True][0], trajs[False][0], rtol=1e-5)
     np.testing.assert_allclose(trajs[True][1], trajs[False][1],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_xmat_wide_factor_matches_bruteforce():
+    """factor > 15 exceeds the Pallas packed row (K.D=16) and runs on the
+    width-agnostic xmat path (cfg.row_width pads to 16-lane multiples) —
+    the reference's vs_libfm benchmark goes to k=64. First-step loss must
+    equal the brute-force dense FM logloss computed straight from the
+    formula (train_fm_algo.cpp:75-83), and training must make progress."""
+    ids, vals, mask, labels = _toy(seed=2)
+    V, k = 700, 20
+    plan = fm_kernel.plan_batch(ids, vals, mask, labels)
+    cfg = fm_kernel.KernelFMConfig(n_features=V, factor=k,
+                                   learning_rate=0.1, exact=True, xmat=True)
+    assert cfg.row_width == 32
+    st = fm_kernel.init(jax.random.PRNGKey(0), cfg, plan)
+    step = fm_kernel.make_train_step(cfg, plan)
+    _, loss0 = step(st)
+
+    # brute force: rank(id) via the plan's uids map
+    rows = np.asarray(st.rows)
+    uids = np.asarray(plan.uids)
+    rank_of = {int(u): r for r, u in enumerate(uids[: plan.n_unique])}
+    B, L = ids.shape
+    z = np.zeros(B)
+    for i in range(B):
+        s = np.zeros(k)
+        ss = 0.0
+        for l in range(L):
+            if mask[i, l] <= 0:
+                continue
+            r = rank_of[int(ids[i, l])]
+            x = vals[i, l]
+            z[i] += rows[r, 0] * x
+            vx = rows[r, 1 : 1 + k] * x
+            s += vx
+            ss += float(vx @ vx)
+        z[i] += 0.5 * (float(s @ s) - ss)
+    p = 1.0 / (1.0 + np.exp(-z))
+    ref_loss = float(np.mean(
+        -(labels * np.log(p) + (1 - labels) * np.log(1 - p))))
+    np.testing.assert_allclose(float(loss0), ref_loss, rtol=1e-5)
+
+    traj, _ = _run(cfg, plan, n_steps=6)
+    assert traj[-1] < traj[0]
+
+
+def test_kernel_path_rejects_wide_factor():
+    ids, vals, mask, labels = _toy(seed=3)
+    plan = fm_kernel.plan_batch(ids, vals, mask, labels)
+    cfg = fm_kernel.KernelFMConfig(n_features=700, factor=20)
+    import pytest
+
+    with pytest.raises(ValueError, match="xmat"):
+        fm_kernel.make_train_step(cfg, plan)
