@@ -42,6 +42,12 @@ class KernelNFMConfig:
     activation: str = "relu"
     learning_rate: float = 0.05
     mlp_learning_rate: float = 1e-3
+    # tower optimizer: "adam" (our default) or "adagrad" — the reference
+    # tower uses PER-LAYER Adagrad (fullyconnLayer.h:234, applied in
+    # applyBatchGradient with the global lr); the adagrad option exists
+    # to settle the NFM head-to-head convergence gap under MATCHED
+    # optimizers (PARITY.md NFM section, VERDICT r3 weak #3)
+    mlp_optimizer: str = "adam"
     init_std: float = 0.01
     l2: float = 0.0
     interpret: bool = False
@@ -54,6 +60,19 @@ class KernelNFMConfig:
     # dense matmuls against the plan-constant Crow/Crow2 count matrices
     # (see KernelFMConfig.xmat); the MLP tower rides autodiff as usual
     xmat: bool = False
+
+
+def _mlp_tx(cfg: KernelNFMConfig):
+    from .. import optim
+
+    if cfg.mlp_optimizer == "adagrad":
+        # reference tower semantics: per-layer Adagrad with the shared lr
+        # (fullyconnLayer.h:234); our tree-wise adagrad is per-parameter,
+        # which subsumes per-layer accumulators
+        return optim.adagrad(cfg.mlp_learning_rate)
+    if cfg.mlp_optimizer != "adam":
+        raise ValueError(f"unknown mlp_optimizer {cfg.mlp_optimizer!r}")
+    return optim.adam(cfg.mlp_learning_rate)
 
 
 class KernelNFMState(NamedTuple):
@@ -76,7 +95,7 @@ def init(rng: jax.Array, cfg: KernelNFMConfig, plan: BatchPlan) -> KernelNFMStat
     )
     rows = rows.at[R - 1].set(0.0)
     mlp = mlp_init(k2, [cfg.factor, *cfg.hidden, 1])
-    tx = optim.adam(cfg.mlp_learning_rate)
+    tx = _mlp_tx(cfg)
     return KernelNFMState(
         w0=jnp.zeros(()),
         w0_accum=jnp.zeros(()),
@@ -94,7 +113,7 @@ def make_train_step(cfg: KernelNFMConfig, plan: BatchPlan):
     b_pad = plan.b_pad
     R = plan.n_rows_pad
     B = plan.labels.shape[0]
-    tx = optim.adam(cfg.mlp_learning_rate)
+    tx = _mlp_tx(cfg)
 
     labels_p = jnp.zeros((b_pad,)).at[:B].set(plan.labels)
     rmask_p = jnp.zeros((b_pad,)).at[:B].set(plan.row_mask)
@@ -225,7 +244,7 @@ def streaming_init(rng: jax.Array, cfg: KernelNFMConfig) -> StreamingNFMState:
         jax.random.normal(k1, (cfg.n_features, cfg.factor)) * cfg.init_std
     )
     mlp = mlp_init(k2, [cfg.factor, *cfg.hidden, 1])
-    tx = optim.adam(cfg.mlp_learning_rate)
+    tx = _mlp_tx(cfg)
     return StreamingNFMState(
         w0=jnp.zeros(()),
         w0_accum=jnp.zeros(()),
@@ -249,7 +268,7 @@ def make_streaming_train_step(cfg: KernelNFMConfig, capacity: int, b_pad: int):
         assert R % (5 * WTILE) == 0, (
             f"cfg.fine streaming needs capacity % 640 == 0, got {R}"
         )
-    tx = optim.adam(cfg.mlp_learning_rate)
+    tx = _mlp_tx(cfg)
 
     # donate: the vocab-space master tables update in place (no full-table
     # copy per step — see fm_kernel.make_streaming_train_step)

@@ -385,7 +385,7 @@ def train_nfm_kernel(ds, factor=8, hidden=(64,), learning_rate=0.05,
                      mlp_learning_rate=1e-3, l2=0.0, epochs=5,
                      batch_size=256, seed=0, exact=True, log=print,
                      fine=True, xmat=True, mesh=None, wire="f32",
-                     activation="relu"):
+                     activation="relu", mlp_optimizer="adam"):
     """-> (params dict {w0,w,v,mlp} for models/nfm, per-epoch losses).
 
     Full-batch (batch_size >= rows) runs the design-matrix step
@@ -404,7 +404,7 @@ def train_nfm_kernel(ds, factor=8, hidden=(64,), learning_rate=0.05,
     full_batch = batch_size >= len(ds)
     cfg = nfm_kernel.KernelNFMConfig(
         n_features=ds.n_features, factor=factor, hidden=tuple(hidden),
-        activation=activation,
+        activation=activation, mlp_optimizer=mlp_optimizer,
         learning_rate=learning_rate, mlp_learning_rate=mlp_learning_rate,
         l2=l2, exact=exact, interpret=_interpret(),
         fine=fine and not (full_batch and xmat), xmat=xmat and full_batch,

@@ -238,3 +238,45 @@ def test_fused_streaming_matches_plan_plus_step(sparse_small):
     np.testing.assert_allclose(np.asarray(state_f.packed),
                                np.asarray(state_p.packed),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_epoch_scan_matches_sequential_fused_steps(sparse_small):
+    """make_streaming_epoch_scan (K independently-planned batches folded
+    into ONE lax.scan dispatch — VERDICT r4 #4's K-batch pipelining, NOT
+    the rejected union super-batch) must reproduce K sequential fused
+    steps bit-for-bit: each sub-step plans/pulls/pushes its own batch, so
+    per-step optimizer and exchange work stay batch-sized."""
+    ds = sparse_small
+    B, capacity, b_pad = 128, 4 * TILE, 128
+    cfg = fm_kernel.KernelFMConfig(
+        n_features=1024, factor=4, learning_rate=0.25, l2=1e-4,
+        interpret=True, exact=True,
+    )
+    step_f = fm_kernel.make_streaming_train_step_fused(cfg, capacity, b_pad)
+    scan_run = fm_kernel.make_streaming_epoch_scan(step_f)
+
+    batches = list(sparse_batches(ds, B))[:4]
+    stacked = tuple(
+        jnp.stack([jnp.asarray(b[k], jnp.int32 if k == "ids" else None)
+                   for b in batches])
+        for k in ("ids", "vals", "mask", "labels", "row_mask")
+    )
+
+    state_seq = fm_kernel.pack_streaming_state(
+        fm_kernel.streaming_init(jax.random.PRNGKey(0), cfg))
+    losses_seq = []
+    for b in batches:
+        state_seq, l = step_f(
+            state_seq, jnp.asarray(b["ids"], jnp.int32),
+            jnp.asarray(b["vals"]), jnp.asarray(b["mask"]),
+            jnp.asarray(b["labels"]), jnp.asarray(b["row_mask"]))
+        losses_seq.append(float(l))
+
+    state_scan = fm_kernel.pack_streaming_state(
+        fm_kernel.streaming_init(jax.random.PRNGKey(0), cfg))
+    state_scan, losses_scan = scan_run(state_scan, *stacked)
+
+    np.testing.assert_array_equal(np.asarray(losses_scan),
+                                  np.asarray(losses_seq, np.float32))
+    np.testing.assert_array_equal(np.asarray(state_scan.packed),
+                                  np.asarray(state_seq.packed))

@@ -102,3 +102,63 @@ def test_kernel_nfm_learns():
     logits = nfm.forward(params, batch, cfg_d)
     acc = float(jnp.mean(((logits > 0) == (jnp.asarray(labels) > 0.5)).astype(jnp.float32)))
     assert acc > 0.8
+
+
+def test_mlp_optimizer_adagrad_matches_reference_semantics():
+    """mlp_optimizer="adagrad" (the reference tower's per-layer Adagrad,
+    fullyconnLayer.h:234 — the matched-optimizer option for the NFM
+    head-to-head) must apply optim.adagrad to the tower: one step's MLP
+    update == -lr * g / (sqrt(g^2) + eps), while the embedding rows stay
+    identical to the adam-tower run (the row optimizer is unchanged)."""
+    ids, vals, mask, labels = _toy_batch(seed=3)
+    plan = fm_kernel.plan_batch(ids, vals, mask, labels)
+
+    def one_step(mlp_optimizer):
+        cfg = nfm_kernel.KernelNFMConfig(
+            n_features=300, factor=4, hidden=(8,), learning_rate=0.1,
+            mlp_learning_rate=0.05, mlp_optimizer=mlp_optimizer,
+            interpret=True, exact=True, xmat=True)
+        st = nfm_kernel.init(jax.random.PRNGKey(0), cfg, plan)
+        st2, loss = nfm_kernel.make_train_step(cfg, plan)(st)
+        return st, st2, float(loss)
+
+    st_a0, st_a1, loss_a = one_step("adam")
+    st_g0, st_g1, loss_g = one_step("adagrad")
+
+    # same init, same forward -> same first loss; same row update
+    assert loss_a == loss_g
+    np.testing.assert_array_equal(np.asarray(st_a1.rows),
+                                  np.asarray(st_g1.rows))
+
+    # adagrad tower semantics: delta == -lr*g/(sqrt(g*g)+eps) with the
+    # gradient recovered from the adagrad state's accumulator
+    accum = st_g1.mlp_opt.accum
+    flat_new, _ = jax.tree_util.tree_flatten(st_g1.mlp)
+    flat_old, _ = jax.tree_util.tree_flatten(st_g0.mlp)
+    flat_acc, _ = jax.tree_util.tree_flatten(accum)
+    checked = 0
+    for new, old, acc in zip(flat_new, flat_old, flat_acc):
+        g = np.sqrt(np.asarray(acc))              # first step: acc = g^2
+        # delta = -lr*g/(sqrt(g^2)+eps): its sign IS sign(new-old)
+        expect = np.asarray(old) + 0.05 * np.sign(
+            np.asarray(new) - np.asarray(old)) * g / (g + 1e-7)
+        np.testing.assert_allclose(np.asarray(new), expect,
+                                   rtol=1e-5, atol=1e-7)
+        checked += 1
+    assert checked >= 4
+
+    # and the two towers genuinely diverge (adam != adagrad)
+    assert not np.allclose(np.asarray(flat_new[0]),
+                           np.asarray(jax.tree_util.tree_flatten(st_a1.mlp)[0][0]))
+
+
+def test_mlp_optimizer_unknown_raises():
+    import pytest
+
+    ids, vals, mask, labels = _toy_batch(seed=4)
+    plan = fm_kernel.plan_batch(ids, vals, mask, labels)
+    cfg = nfm_kernel.KernelNFMConfig(
+        n_features=300, factor=4, hidden=(8,), mlp_optimizer="sgdx",
+        interpret=True, exact=True)
+    with pytest.raises(ValueError, match="mlp_optimizer"):
+        nfm_kernel.init(jax.random.PRNGKey(0), cfg, plan)
