@@ -161,6 +161,37 @@ def production_main():
             model_flops / dt / 197e12 * 100.0, 5)
         if name:
             out[f"production_{name}unique_rows"] = int(plan.n_unique)
+
+        # range-PARTITIONED master (r4): XLA row-scatter cost scales
+        # with the target table's size, so id-range partitions make the
+        # hot head's push pay the small-table per-index rate
+        # (bench_partitioned_exchange.py receipts; trajectory equality
+        # in tests/test_fm_partitioned.py). Caps from observed traffic;
+        # the step's overflow flag guards cap sizing. zipf only: uniform
+        # traffic is cold-partition-bound, where the split buys nothing
+        # (PARITY.md partitioned-master row).
+        if not name:
+            continue
+        bounds = (65_536, 262_144, 1_048_576, vocab)
+        caps = fm_kernel.partition_caps_for(
+            plan.uids, plan.n_unique, bounds)
+        state_q = fm_kernel.partition_streaming_state(
+            fm_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg),
+            bounds)
+        step_q = fm_kernel.make_streaming_train_step_partitioned(
+            cfg, capacity, plan.b_pad, bounds, caps)
+        (state_q, loss), overflow = step_q(state_q, arrays)
+        assert not bool(overflow), (caps, "partition caps overflowed")
+        float(loss)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            (state_q, loss), overflow = step_q(state_q, arrays)
+        float(loss)
+        dtq = (time.perf_counter() - t0) / n
+        out[f"production_{name}partitioned_examples_per_sec"] = round(
+            B / dtq, 1)
+        out[f"production_{name}partitioned_step_ms"] = round(dtq * 1e3, 3)
+        del state_q
     print(json.dumps(out))
 
 

@@ -943,6 +943,67 @@ def streaming_init_packed(rng: jax.Array,
     return pack_streaming_state(streaming_init(rng, cfg))
 
 
+def _packed_rank_core(cfg: KernelFMConfig, pulled, b, b_pad: int, R: int,
+                      w0, w0_accum, lr, l2):
+    """The pull->compute->update middle of the packed streaming step in
+    RANK space: takes the gathered [R, 2D] packed rows, returns the
+    updated [R, 2D] packed rows (masked past n_unique) plus the w0 pair
+    and loss. Shared verbatim by the single-master (packed) and the
+    range-partitioned steps so their trajectories are identical by
+    construction."""
+    n_k = cfg.factor
+    D = K.D
+    n_unique = b["n_unique"]
+    rows = pulled[:, :D]
+    acc = pulled[:, D:]
+    rows = rows.at[R - 1].set(0.0)
+
+    if cfg.xmat:
+        loss, grad_rows, g0 = _xmat_rank_grads(
+            cfg, rows, w0, b, b_pad, R)
+    else:
+        rowsum, e_pos = kernel_forward(
+            cfg, rows, b["ranks_sorted"], b["rowid_sorted"],
+            b["xv_sorted"], b["tile_base"], b.get("tile_base_fine"),
+            b_pad,
+        )
+        wx = rowsum[:, 0]
+        s = rowsum[:, 1 : 1 + n_k]
+        ss = rowsum[:, 1 + n_k : 1 + 2 * n_k]
+        z = w0 + wx + 0.5 * jnp.sum(s * s - ss, axis=-1)
+        labels_p = b["labels_padded"]
+        rmask_p = b["row_mask_padded"]
+        n_valid = jnp.maximum(jnp.sum(rmask_p), 1.0)
+        per = (jnp.maximum(z, 0) - z * labels_p
+               + jnp.log1p(jnp.exp(-jnp.abs(z))))
+        loss = jnp.sum(per * rmask_p) / n_valid
+        dlogit = (jax.nn.sigmoid(z) - labels_p) * rmask_p / n_valid
+
+        duals = jnp.zeros((b_pad, K.S))
+        duals = duals.at[:, 0].set(dlogit)
+        duals = duals.at[:, 1 : 1 + n_k].set(dlogit[:, None] * s)
+        duals = duals.at[:, 1 + n_k : 1 + 2 * n_k].set(
+            jnp.broadcast_to(dlogit[:, None], (b_pad, n_k))
+        )
+        grad_rows = kernel_backward(
+            cfg, b["rowid_sorted"], b["xv_sorted"], e_pos, duals,
+            b["ranks_sorted"], b["tile_base"], b.get("tile_base_fine"),
+            b_pad, R,
+        )
+        g0 = jnp.sum(dlogit)
+    grad_rows = grad_rows + l2 * rows
+
+    pos = jnp.arange(R)
+    m = (pos < n_unique).astype(jnp.float32)[:, None]
+    g = grad_rows * m
+    acc_new = acc + g * g
+    rows_new = rows - lr * g / (jnp.sqrt(acc_new) + 1e-7)
+    w0_accum_new = w0_accum + g0 * g0
+    w0_new = w0 - lr * g0 / (jnp.sqrt(w0_accum_new) + 1e-7)
+    return jnp.concatenate([rows_new, acc_new], axis=1), w0_new, \
+        w0_accum_new, loss
+
+
 def make_streaming_train_step_packed(cfg: KernelFMConfig, capacity: int,
                                      b_pad: int):
     """Packed-layout twin of make_streaming_train_step: ONE master-table
@@ -950,13 +1011,11 @@ def make_streaming_train_step_packed(cfg: KernelFMConfig, capacity: int,
     cycle collapse into single row operations). Identical numerics —
     the scatter-set writes rows_pulled - update, which equals the
     unpacked scatter-add because uids are unique."""
-    n_k = cfg.factor
     R = capacity
     if cfg.fine:
         assert R % (5 * WTILE) == 0, (
             f"cfg.fine streaming needs capacity % 640 == 0, got {R}"
         )
-    D = K.D
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: StreamingFMStatePacked, b: dict, hyper=None):
@@ -966,58 +1025,159 @@ def make_streaming_train_step_packed(cfg: KernelFMConfig, capacity: int,
         uids = b["uids"]
         n_unique = b["n_unique"]
         pulled = state.packed[uids]             # ONE [R, 32] gather
-        rows = pulled[:, :D]
-        acc = pulled[:, D:]
-        rows = rows.at[R - 1].set(0.0)
-
-        if cfg.xmat:
-            loss, grad_rows, g0 = _xmat_rank_grads(
-                cfg, rows, state.w0, b, b_pad, R)
-        else:
-            rowsum, e_pos = kernel_forward(
-                cfg, rows, b["ranks_sorted"], b["rowid_sorted"],
-                b["xv_sorted"], b["tile_base"], b.get("tile_base_fine"),
-                b_pad,
-            )
-            wx = rowsum[:, 0]
-            s = rowsum[:, 1 : 1 + n_k]
-            ss = rowsum[:, 1 + n_k : 1 + 2 * n_k]
-            z = state.w0 + wx + 0.5 * jnp.sum(s * s - ss, axis=-1)
-            labels_p = b["labels_padded"]
-            rmask_p = b["row_mask_padded"]
-            n_valid = jnp.maximum(jnp.sum(rmask_p), 1.0)
-            per = (jnp.maximum(z, 0) - z * labels_p
-                   + jnp.log1p(jnp.exp(-jnp.abs(z))))
-            loss = jnp.sum(per * rmask_p) / n_valid
-            dlogit = (jax.nn.sigmoid(z) - labels_p) * rmask_p / n_valid
-
-            duals = jnp.zeros((b_pad, K.S))
-            duals = duals.at[:, 0].set(dlogit)
-            duals = duals.at[:, 1 : 1 + n_k].set(dlogit[:, None] * s)
-            duals = duals.at[:, 1 + n_k : 1 + 2 * n_k].set(
-                jnp.broadcast_to(dlogit[:, None], (b_pad, n_k))
-            )
-            grad_rows = kernel_backward(
-                cfg, b["rowid_sorted"], b["xv_sorted"], e_pos, duals,
-                b["ranks_sorted"], b["tile_base"], b.get("tile_base_fine"),
-                b_pad, R,
-            )
-            g0 = jnp.sum(dlogit)
-        grad_rows = grad_rows + l2 * rows
-
+        packed_new, w0, w0_accum, loss = _packed_rank_core(
+            cfg, pulled, b, b_pad, R, state.w0, state.w0_accum, lr, l2)
         pos = jnp.arange(R)
-        m = (pos < n_unique).astype(jnp.float32)[:, None]
-        g = grad_rows * m
-        acc_new = acc + g * g
-        rows_new = rows - lr * g / (jnp.sqrt(acc_new) + 1e-7)
         safe_uids = jnp.where(pos < n_unique, uids, state.packed.shape[0])
         packed = state.packed.at[safe_uids].set(
-            jnp.concatenate([rows_new, acc_new], axis=1), mode="drop"
+            packed_new, mode="drop"
         )                                        # ONE [R, 32] scatter
-
-        w0_accum = state.w0_accum + g0 * g0
-        w0 = state.w0 - lr * g0 / (jnp.sqrt(w0_accum) + 1e-7)
         return StreamingFMStatePacked(w0, w0_accum, packed), loss
+
+    return step
+
+
+class StreamingFMStatePartitioned(NamedTuple):
+    """Range-PARTITIONED packed master: parts[p] holds vocab rows
+    [bounds[p-1], bounds[p]) as a separate [size_p, 2D] array.
+
+    Why: XLA row-scatter cost is per-index and SCALES WITH THE TARGET
+    TABLE'S SIZE (measured v5e: 34 ns/idx into 65k rows vs 160 ns/idx
+    donated into 10M — benchmarks/bench_cache_probe.py,
+    bench_partitioned_exchange.py), so splitting the 10M-row master into
+    id-range partitions makes the hot head's exchange pay the small-
+    table rate. Sorted ascending uids make each partition's batch rows a
+    CONTIGUOUS rank range — per-partition operands are dynamic_slices,
+    no extra row gathers. This is the reference's DHT range-sharding
+    idea (consistent_hash.h:31-40) turned into a single-chip memory
+    layout. Trajectories are bit-identical to the packed step (shared
+    _packed_rank_core; tests/test_fm_partitioned.py).
+    """
+
+    w0: jax.Array
+    w0_accum: jax.Array
+    parts: tuple
+
+
+def partition_streaming_state(state: StreamingFMStatePacked,
+                              bounds: tuple) -> StreamingFMStatePartitioned:
+    """Split a packed [V, 2D] master into range partitions (bounds
+    ascending, bounds[-1] == V)."""
+    V = state.packed.shape[0]
+    assert tuple(sorted(bounds)) == tuple(bounds) and bounds[-1] == V, bounds
+    parts, base = [], 0
+    for b in bounds:
+        parts.append(state.packed[base:b])
+        base = b
+    return StreamingFMStatePartitioned(state.w0, state.w0_accum,
+                                       tuple(parts))
+
+
+def departition_streaming_state(
+        state: StreamingFMStatePartitioned) -> StreamingFMStatePacked:
+    return StreamingFMStatePacked(
+        state.w0, state.w0_accum, jnp.concatenate(state.parts, axis=0))
+
+
+def partition_caps_for(uids, n_unique: int, bounds: tuple,
+                       slack: float = 0.25, multiple: int = 1024) -> tuple:
+    """Host-side cap sizing from observed traffic: per-partition unique
+    counts + slack, rounded up to `multiple` (one compile per cap
+    tuple). The step REFUSES overflow at runtime via its overflow flag —
+    callers re-plan with bigger caps or fall back to the packed step."""
+    u = np.asarray(uids)[:n_unique]
+    caps, base = [], 0
+    for b in bounds:
+        c = int(((u >= base) & (u < b)).sum())
+        caps.append(int(np.ceil(c * (1 + slack) / multiple)) * multiple
+                    + multiple)
+        base = b
+    return tuple(caps)
+
+
+def make_streaming_train_step_partitioned(cfg: KernelFMConfig,
+                                          capacity: int, b_pad: int,
+                                          bounds: tuple, caps: tuple):
+    """Packed streaming step against a range-PARTITIONED master (see
+    StreamingFMStatePartitioned). bounds: ascending id-range ends,
+    bounds[-1] == n_features. caps: static per-partition rank budgets
+    (partition_caps_for). Returns step(state, b, hyper) ->
+    ((state, loss), overflow) where overflow (bool scalar) is True iff
+    any partition's batch row count exceeded its cap — the updated state
+    is then INCOMPLETE (uncovered rows unwritten) and the caller must
+    discard it and re-run the batch through a packed step or with
+    bigger caps. The engine treats overflow as a loud re-plan signal;
+    correctness never depends on cap sizing.
+
+    Numerics: bit-identical to make_streaming_train_step_packed (shared
+    _packed_rank_core; the pull/push split by partitions touches
+    disjoint row ranges)."""
+    R = capacity
+    assert len(bounds) == len(caps) and bounds[-1] == cfg.n_features
+    if cfg.fine:
+        assert R % (5 * WTILE) == 0
+    D2 = 2 * K.D
+    V = cfg.n_features
+    sizes = [bounds[0]] + [bounds[i] - bounds[i - 1]
+                           for i in range(1, len(bounds))]
+    bases = [0] + list(bounds[:-1])
+    cap_max = max(caps)
+    n_parts = len(bounds)
+    th = jnp.asarray(np.asarray(bases, np.int32))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: StreamingFMStatePartitioned, b: dict, hyper=None):
+        lr = cfg.learning_rate if hyper is None else hyper[0]
+        l2 = cfg.l2 if hyper is None else hyper[1]
+        n_unique = b["n_unique"]
+        pos = jnp.arange(R, dtype=jnp.int32)
+        # ascending ids with V at padding (uids pads with 0s), then
+        # extend by cap_max so dynamic_slice at offset starts[p] can
+        # never clamp (XLA clamps OOB starts -> silent misalignment)
+        idx = jnp.where(pos < n_unique, b["uids"].astype(jnp.int32),
+                        jnp.int32(V))
+        idx_ext = jnp.concatenate(
+            [idx, jnp.full((cap_max,), V, jnp.int32)])
+        # partition p covers ranks [starts[p], starts[p+1])
+        starts = jnp.sum(idx[None, :] < th[:, None], axis=1).astype(jnp.int32)
+        counts = jnp.concatenate(
+            [starts[1:], n_unique[None].astype(jnp.int32)]) - starts
+        overflow = jnp.any(counts > jnp.asarray(caps, jnp.int32))
+
+        # ---- pull: per-partition contiguous gathers into rank space
+        buf = jnp.zeros((R + cap_max, D2))
+        for p in range(n_parts):
+            sp = starts[p]
+            idx_p = jax.lax.dynamic_slice(idx_ext, (sp,), (caps[p],)) \
+                - bases[p]
+            got = state.parts[p][jnp.clip(idx_p, 0, sizes[p] - 1)]
+            # overshoot rows (next partitions / padding) are overwritten
+            # by later p; rows past n_unique stay zero via the mask below
+            buf = jax.lax.dynamic_update_slice(buf, got, (sp, 0))
+        pulled = buf[:R] * (pos < n_unique).astype(buf.dtype)[:, None]
+
+        packed_new, w0, w0_accum, loss = _packed_rank_core(
+            cfg, pulled, b, b_pad, R, state.w0, state.w0_accum, lr, l2)
+        packed_ext = jnp.concatenate(
+            [packed_new, jnp.zeros((cap_max, D2))])
+
+        # ---- push: per-partition contiguous scatters
+        new_parts = []
+        for p in range(n_parts):
+            sp = starts[p]
+            idx_p = jax.lax.dynamic_slice(idx_ext, (sp,), (caps[p],)) \
+                - bases[p]
+            rows_p = jax.lax.dynamic_slice(packed_ext, (sp, 0),
+                                           (caps[p], D2))
+            # out-of-partition (negative would only occur on overflow;
+            # >= size_p covers overshoot + padding) -> drop
+            idx_p = jnp.where(idx_p < 0, sizes[p], idx_p)
+            new_parts.append(
+                state.parts[p].at[idx_p].set(rows_p, mode="drop"))
+
+        return (StreamingFMStatePartitioned(w0, w0_accum,
+                                            tuple(new_parts)), loss), \
+            overflow
 
     return step
 

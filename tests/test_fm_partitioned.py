@@ -1,0 +1,126 @@
+"""Range-partitioned packed master (fm_kernel.StreamingFMStatePartitioned).
+
+Why it exists (measured, PARITY.md): XLA row-scatter cost is per-index
+and scales with the target table's size (34 ns/idx @65k rows vs 160
+donated @10M on v5e), so splitting the vocab-space master into id-range
+partitions makes the hot head's exchange pay the small-table rate —
+1.57x the push, bit-exact (benchmarks/bench_partitioned_exchange.py).
+Reference analogue: the PS DHT shards the table by key range
+(consistent_hash.h:31-40); this is that layout on one chip's HBM.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lightctr_tpu.models import fm_kernel
+from lightctr_tpu.ops.embedding_pallas import TILE
+
+
+def _toy(seed=0, B=64, L=32, V=4096, zipfish=True):
+    rng = np.random.default_rng(seed)
+    if zipfish:
+        ids = np.where(
+            rng.random((B, L)) < 0.5,
+            rng.integers(0, 64, (B, L)),
+            rng.integers(0, V, (B, L)),
+        ).astype(np.int64)
+    else:
+        ids = rng.integers(0, V, (B, L)).astype(np.int64)
+    vals = rng.random((B, L)).astype(np.float32)
+    mask = (rng.random((B, L)) > 0.15).astype(np.float32)
+    labels = rng.integers(0, 2, (B,)).astype(np.float32)
+    return ids, vals, mask, labels
+
+
+BOUNDS = (256, 1024, 4096)
+
+
+def _steps(V=4096, capacity=4 * TILE, b_pad=128, caps=(256, 768, 2048),
+           **kw):
+    cfg = fm_kernel.KernelFMConfig(
+        n_features=V, factor=4, learning_rate=0.2, l2=1e-4,
+        interpret=True, exact=True, **kw)
+    packed = fm_kernel.make_streaming_train_step_packed(cfg, capacity, b_pad)
+    part = fm_kernel.make_streaming_train_step_partitioned(
+        cfg, capacity, b_pad, BOUNDS, caps)
+    return cfg, packed, part
+
+
+def test_partitioned_matches_packed_trajectory():
+    """Multi-batch trajectory must reproduce the packed step (shared
+    _packed_rank_core; pull/push split over disjoint ranges). Tolerance:
+    the core is inlined into two DIFFERENT compiled programs, so XLA may
+    reorder reductions — observed 1-ulp accum noise; same rtol
+    convention as test_fused_streaming_matches_plan_plus_step."""
+    V, capacity, b_pad = 4096, 4 * TILE, 128
+    cfg, step_p, step_q = _steps()
+
+    st_p = fm_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg)
+    st_q = fm_kernel.partition_streaming_state(
+        fm_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg), BOUNDS)
+
+    for i in range(5):
+        ids, vals, mask, labels = _toy(seed=i, zipfish=(i % 2 == 0))
+        b = fm_kernel.plan_batch_on_device(
+            jnp.asarray(ids, jnp.int32), jnp.asarray(vals),
+            jnp.asarray(mask), jnp.asarray(labels),
+            jnp.ones((64,), jnp.float32), capacity=capacity, b_pad=b_pad)
+        st_p, lp = step_p(st_p, b)
+        (st_q, lq), overflow = step_q(st_q, b)
+        assert not bool(overflow)
+        np.testing.assert_allclose(float(lp), float(lq), rtol=1e-6)
+
+    back = fm_kernel.departition_streaming_state(st_q)
+    # atol: a 1-ulp accumulator difference passes through Adagrad's
+    # 1/sqrt on near-zero accums, so tiny elements see ~1e-6 absolute
+    # drift after a few steps while large ones stay at rtol
+    np.testing.assert_allclose(np.asarray(back.packed),
+                               np.asarray(st_p.packed),
+                               rtol=1e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(back.w0), np.asarray(st_p.w0),
+                               rtol=1e-6)
+
+
+def test_partitioned_overflow_flag():
+    """A batch whose partition-0 uniques exceed cap0 must raise the
+    overflow flag (the state is then incomplete by contract)."""
+    cfg, _, step_q = _steps(caps=(128, 768, 2048))
+    st_q = fm_kernel.partition_streaming_state(
+        fm_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg), BOUNDS)
+    # >128 unique ids below 256
+    ids = np.arange(64 * 32).reshape(64, 32) % 250
+    b = fm_kernel.plan_batch_on_device(
+        jnp.asarray(ids, jnp.int32), jnp.ones((64, 32), jnp.float32),
+        jnp.ones((64, 32), jnp.float32), jnp.zeros((64,), jnp.float32),
+        jnp.ones((64,), jnp.float32), capacity=4 * TILE, b_pad=128)
+    (_, _), overflow = step_q(st_q, b)
+    assert bool(overflow)
+
+
+def test_partition_caps_for_covers_traffic():
+    ids, vals, mask, labels = _toy(seed=3)
+    plan = fm_kernel.plan_batch(ids, vals, mask, labels,
+                                n_rows_pad=4 * TILE)
+    caps = fm_kernel.partition_caps_for(plan.uids, plan.n_unique, BOUNDS,
+                                        multiple=128)
+    u = np.asarray(plan.uids)[: plan.n_unique]
+    base = 0
+    for b, cap in zip(BOUNDS, caps):
+        assert ((u >= base) & (u < b)).sum() <= cap
+        assert cap % 128 == 0
+        base = b
+
+
+def test_partition_state_roundtrip_and_bounds_check():
+    cfg = fm_kernel.KernelFMConfig(n_features=4096, factor=4,
+                                   interpret=True)
+    st = fm_kernel.streaming_init_packed(jax.random.PRNGKey(1), cfg)
+    q = fm_kernel.partition_streaming_state(st, BOUNDS)
+    assert [p.shape[0] for p in q.parts] == [256, 768, 3072]
+    back = fm_kernel.departition_streaming_state(q)
+    np.testing.assert_array_equal(np.asarray(back.packed),
+                                  np.asarray(st.packed))
+    with pytest.raises(AssertionError):
+        fm_kernel.partition_streaming_state(st, (256, 1024))  # != V
