@@ -189,6 +189,14 @@ def main(argv=None):
     a.add_argument("--metric", default="cos", choices=["ip", "cos", "l2"])
     a.add_argument("--dump", default=None,
                    help="write `query neighbor score` lines")
+    a.add_argument("--ivf", type=int, default=0, metavar="N_CLUSTERS",
+                   help="two-tier sublinear retrieval: IVF shortlist of "
+                        "N_CLUSTERS k-means cells + exact rerank (the "
+                        "reference forest's sublinear capability, "
+                        "ann_index.h:110-268); 0 = exact scan (default, "
+                        "exact recall)")
+    a.add_argument("--nprobe", type=int, default=8,
+                   help="IVF cells probed per query (--ivf only)")
 
     e = sub.add_parser("embed")
     e.add_argument("--text", required=True)
@@ -541,12 +549,21 @@ def _run_aux_command(args):
         if unknown:
             raise SystemExit(f"ann: words not in the embedding file: {unknown}")
         rows = np.asarray([word_to_row[w] for w in queries], np.int64)
-        index = MIPSIndex(emb_mat)
         # k+1 then drop the query row itself (it is its own best match
         # under ip/cos — the reference forest returns it too, ann_index.h
         # query over the full point set)
-        scores, ids = index.query(emb_mat[rows], k=min(args.k + 1, len(words)),
-                                  metric=args.metric)
+        k_q = min(args.k + 1, len(words))
+        if args.ivf:
+            from .serve.ann import IVFIndex
+
+            index = IVFIndex(emb_mat,
+                             n_clusters=min(args.ivf, len(words) // 4 or 1))
+            scores, ids = index.query(emb_mat[rows], k=k_q,
+                                      nprobe=args.nprobe, metric=args.metric)
+        else:
+            index = MIPSIndex(emb_mat)
+            scores, ids = index.query(emb_mat[rows], k=k_q,
+                                      metric=args.metric)
         scores, ids = np.asarray(scores), np.asarray(ids)
         out_lines = []
         for qi, w in enumerate(queries):

@@ -194,6 +194,29 @@ def test_cli_ann(tmp_path, capsys):
     assert len(dumped) == 6 and dumped[0].split()[0] == "w1_0"
 
 
+def test_cli_ann_ivf(tmp_path, capsys):
+    """`ann --ivf N` routes through the two-tier IVF shortlist + exact
+    rerank (the reference forest's sublinear capability) and finds the
+    same same-cluster neighbors as the exact scan on separable data."""
+    emb_file = tmp_path / "emb.txt"
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(4, 8)).astype(np.float32) * 4.0
+    lines = []
+    for c in range(4):
+        for j in range(16):
+            vec = base[c] + 0.05 * rng.normal(size=8)
+            lines.append(f"w{c}_{j} " + " ".join(f"{v:.6f}" for v in vec))
+    emb_file.write_text("\n".join(lines) + "\n")
+
+    main([
+        "ann", "--embeddings", str(emb_file), "--query", "w1_0",
+        "--k", "3", "--metric", "cos", "--ivf", "4", "--nprobe", "2",
+    ])
+    first = capsys.readouterr().out.splitlines()[0]
+    assert first.startswith("w1_0:") and "w1_0(" not in first
+    assert first.split(":", 1)[1].count("w1_") == 3
+
+
 def test_cli_ann_unknown_word(tmp_path):
     emb_file = tmp_path / "e.txt"
     emb_file.write_text("a 1 0\nb 0 1\n")
