@@ -89,6 +89,36 @@ def main():
         out[f"kscan{K}_examples_per_sec"] = round(B / dt, 1)
         print(json.dumps(out), flush=True)
 
+    # --- fused PARTITIONED step at the same regime (r4): the finding
+    # above says this step is exchange-bound — the range-partitioned
+    # master attacks exactly that (PARITY.md partitioned-master row)
+    bounds = (65_536, 262_144, vocab)
+    # caps = host max over ALL batches' per-partition unique counts
+    # (+octave rounding in partition_caps_for) so no batch overflows
+    per_part = np.zeros(len(bounds), np.int64)
+    for i in range(n_total):
+        u = np.unique(ids_np[i])
+        base = 0
+        for p, bnd in enumerate(bounds):
+            per_part[p] = max(per_part[p], ((u >= base) & (u < bnd)).sum())
+            base = bnd
+    caps = tuple(int(-(-c * 1.05 // 1024) * 1024) for c in per_part)
+    stepq = fm_kernel.make_streaming_train_step_fused_partitioned(
+        cfg, capacity, b_pad, bounds, caps)
+    state_q = fm_kernel.partition_streaming_state(
+        fm_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg), bounds)
+    (state_q, loss), ov = stepq(state_q, *dev[0])
+    assert not bool(ov), caps
+    float(loss)
+    t0 = time.perf_counter()
+    for i in range(n_total):
+        (state_q, loss), ov = stepq(state_q, *dev[i])
+    float(loss)
+    dt = (time.perf_counter() - t0) / n_total
+    out["fused_partitioned_step_ms"] = round(dt * 1e3, 3)
+    out["fused_partitioned_examples_per_sec"] = round(B / dt, 1)
+    out["fused_partitioned_caps"] = list(caps)
+
     print("FINAL " + json.dumps(out))
 
 

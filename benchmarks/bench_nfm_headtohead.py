@@ -30,6 +30,7 @@ the row count for comparability with the reference's printed TOTAL.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -59,35 +60,50 @@ def main():
     n_rows = len(ds)
     out = {"rows": n_rows, "reference": REF}
 
-    # warmup: compile the one-program run once (cached across seeds)
-    train_nfm_kernel(ds, factor=10, hidden=(32,), learning_rate=0.05,
-                     mlp_learning_rate=1e-3, l2=1e-3, epochs=30,
-                     batch_size=50, seed=99, exact=True, log=None,
-                     activation="sigmoid")
+    # r4 (VERDICT #6): ALSO run the tower under the reference's OWN
+    # optimizer — per-layer Adagrad at the shared lr 0.05
+    # (fullyconnLayer.h:234, main.cpp lr) — to settle whether the ~15%
+    # final-train-loss gap was the Adam tower or something else.
+    mlp_variants = {
+        "adam": dict(mlp_learning_rate=1e-3, mlp_optimizer="adam"),
+        "adagrad_matched": dict(mlp_learning_rate=0.05,
+                                mlp_optimizer="adagrad"),
+    }
+    variant = os.environ.get("NFM_MLP_VARIANT", "both")
 
     runs = []
-    for seed in (0, 1, 2):
-        t0 = time.perf_counter()
-        params, losses = train_nfm_kernel(
-            ds, factor=10, hidden=(32,), learning_rate=0.05,
-            mlp_learning_rate=1e-3, l2=1e-3, epochs=30, batch_size=50,
-            seed=seed, exact=True, log=None, activation="sigmoid",
-        )
-        wall = time.perf_counter() - t0
-        cfg = nfm.NFMConfig(n_features=ds.n_features, factor=10,
-                            hidden=(32,), activation="sigmoid")
-        metrics = evaluate(nfm, cfg, params, ds, 250)
-        runs.append({
-            "seed": seed,
-            "wall_s": round(wall, 2),
-            "ms_per_epoch": round(wall / 30 * 1e3, 1),
-            "final_total_loss": round(losses[-1] * n_rows, 2),
-            "train_accuracy": round(metrics["accuracy"], 4),
-            "train_auc": round(metrics["auc"], 4),
-            "loss_curve_total": [round(l * n_rows, 2) for l in losses],
-        })
-        print("ours", {k: v for k, v in runs[-1].items()
-                       if k != "loss_curve_total"}, flush=True)
+    for name, mkw in mlp_variants.items():
+        if variant not in ("both", name):
+            continue
+        # warmup: compile this variant's one-program run (cached across
+        # seeds; the adagrad tower is a different program than adam)
+        train_nfm_kernel(ds, factor=10, hidden=(32,), learning_rate=0.05,
+                         l2=1e-3, epochs=30, batch_size=50, seed=99,
+                         exact=True, log=None, activation="sigmoid", **mkw)
+        for seed in (0, 1, 2):
+            t0 = time.perf_counter()
+            params, losses = train_nfm_kernel(
+                ds, factor=10, hidden=(32,), learning_rate=0.05,
+                l2=1e-3, epochs=30, batch_size=50,
+                seed=seed, exact=True, log=None, activation="sigmoid",
+                **mkw,
+            )
+            wall = time.perf_counter() - t0
+            cfg = nfm.NFMConfig(n_features=ds.n_features, factor=10,
+                                hidden=(32,), activation="sigmoid")
+            metrics = evaluate(nfm, cfg, params, ds, 250)
+            runs.append({
+                "tower": name,
+                "seed": seed,
+                "wall_s": round(wall, 2),
+                "ms_per_epoch": round(wall / 30 * 1e3, 1),
+                "final_total_loss": round(losses[-1] * n_rows, 2),
+                "train_accuracy": round(metrics["accuracy"], 4),
+                "train_auc": round(metrics["auc"], 4),
+                "loss_curve_total": [round(l * n_rows, 2) for l in losses],
+            })
+            print("ours", {k: v for k, v in runs[-1].items()
+                           if k != "loss_curve_total"}, flush=True)
 
     out["ours"] = runs
     our_ms = np.mean([r["ms_per_epoch"] for r in runs])

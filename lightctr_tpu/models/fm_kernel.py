@@ -1182,6 +1182,34 @@ def make_streaming_train_step_partitioned(cfg: KernelFMConfig,
     return step
 
 
+def make_streaming_train_step_fused_partitioned(
+        cfg: KernelFMConfig, capacity: int, b_pad: int,
+        bounds: tuple, caps: tuple):
+    """ONE-dispatch streaming step on RAW [B, L] batches against the
+    range-PARTITIONED master: the device planner is traced into the
+    partitioned step (see make_streaming_train_step_partitioned for the
+    layout, caps, and overflow contract). The B=256 fused step measured
+    exchange-bound, not dispatch-bound (benchmarks/bench_kscan_stream.py)
+    — this variant attacks exactly that exchange. Returns
+    step(state, ids, vals, mask, labels, row_mask, hyper) ->
+    ((state, loss), overflow)."""
+    assert cfg.n_features < 2**31 - 1, (
+        "device planner is int32 with INT32_MAX as the pad sentinel")
+    inner = make_streaming_train_step_partitioned(cfg, capacity, b_pad,
+                                                  bounds, caps)
+    inner_raw = inner.__wrapped__
+    plan_raw = plan_batch_on_device.__wrapped__
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: StreamingFMStatePartitioned, ids, vals, mask, labels,
+             row_mask, hyper=None):
+        b = plan_raw(ids, vals, mask, labels, row_mask,
+                     capacity=capacity, b_pad=b_pad, n_pad_multiple=None)
+        return inner_raw(state, b, hyper)
+
+    return step
+
+
 def make_streaming_train_step_fused(cfg: KernelFMConfig, capacity: int,
                                     b_pad: int):
     """ONE-dispatch streaming step on RAW [B, L] batches: the device

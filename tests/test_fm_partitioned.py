@@ -124,3 +124,32 @@ def test_partition_state_roundtrip_and_bounds_check():
                                   np.asarray(st.packed))
     with pytest.raises(AssertionError):
         fm_kernel.partition_streaming_state(st, (256, 1024))  # != V
+
+
+def test_fused_partitioned_matches_fused_packed():
+    """The one-dispatch partitioned step (device planner traced in) must
+    reproduce the fused packed step's trajectory."""
+    V, capacity, b_pad = 4096, 4 * TILE, 128
+    caps = (256, 768, 2048)
+    cfg = fm_kernel.KernelFMConfig(
+        n_features=V, factor=4, learning_rate=0.2, l2=1e-4,
+        interpret=True, exact=True)
+    step_f = fm_kernel.make_streaming_train_step_fused(cfg, capacity, b_pad)
+    step_q = fm_kernel.make_streaming_train_step_fused_partitioned(
+        cfg, capacity, b_pad, BOUNDS, caps)
+    st_f = fm_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg)
+    st_q = fm_kernel.partition_streaming_state(
+        fm_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg), BOUNDS)
+    for i in range(4):
+        ids, vals, mask, labels = _toy(seed=10 + i, zipfish=(i % 2 == 0))
+        args = (jnp.asarray(ids, jnp.int32), jnp.asarray(vals),
+                jnp.asarray(mask), jnp.asarray(labels),
+                jnp.ones((64,), jnp.float32))
+        st_f, lf = step_f(st_f, *args)
+        (st_q, lq), ov = step_q(st_q, *args)
+        assert not bool(ov)
+        np.testing.assert_allclose(float(lf), float(lq), rtol=1e-6)
+    back = fm_kernel.departition_streaming_state(st_q)
+    np.testing.assert_allclose(np.asarray(back.packed),
+                               np.asarray(st_f.packed),
+                               rtol=1e-5, atol=2e-6)
