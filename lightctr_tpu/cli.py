@@ -89,6 +89,12 @@ def main(argv=None):
                    help="dense = autodiff XLA step; kernel = fused Pallas "
                         "trainers (fm/nfm streaming, ffm full-batch) — the "
                         "fast path bench.py measures")
+    t.add_argument("--partitioned", action="store_true",
+                   help="kernel FM streaming only: store the vocab master "
+                        "as id-range PARTITIONS so skewed traffic's hot "
+                        "head pays small-table scatter rates (PARITY.md "
+                        "partitioned-master row); uniform traffic gains "
+                        "nothing — off by default")
     t.add_argument("--stream", action="store_true",
                    help="kernel FFM: minibatch-stream --batch-size rows "
                         "against the vocab-space master table (fused "
@@ -256,6 +262,11 @@ def main(argv=None):
             if args.model not in ("fm", "nfm", "ffm"):
                 raise SystemExit(
                     f"--engine kernel supports fm/nfm/ffm, not {args.model}")
+            if args.partitioned and (args.model != "fm" or args.mesh):
+                raise SystemExit(
+                    "--partitioned is the single-chip kernel FM "
+                    "streaming master layout (use --model fm without "
+                    "--mesh)")
             from .train.kernel_engine import KERNEL_ENGINES
             from .train.loop import evaluate
 
@@ -272,6 +283,7 @@ def main(argv=None):
                 kw["wire"] = args.wire
             if args.model == "fm":
                 kw.update(batch_size=args.batch_size,
+                          partitioned=args.partitioned,
                           wide_optimizer=("ftrl" if args.optimizer == "ftrl"
                                           else "adagrad"))
             elif args.model == "nfm":

@@ -76,8 +76,33 @@ def _streaming_dims(ds, batch_size: int, fine: bool = False):
 EPOCH_SCAN_MAX_POSITIONS = 2_000_000
 
 
+def _partition_bounds(n_features: int) -> tuple:
+    """Standard id-range partition bounds for the partitioned master
+    (fm_kernel.StreamingFMStatePartitioned): 64k/256k/1M split points
+    below the vocab, vocab-terminated. Returns a 1-tuple (degenerate —
+    caller should use the packed layout) for small vocabularies."""
+    pts = [b for b in (65_536, 262_144, 1_048_576) if b < n_features]
+    return tuple(pts) + (n_features,)
+
+
+def _partition_caps_octave(u_sorted: np.ndarray, bounds: tuple) -> tuple:
+    """Octave-bucketed per-partition caps from a batch's SORTED unique
+    ids: smallest 1024 * 2^k >= count per partition — stationary traffic
+    re-uses one compiled program; caps >= counts by construction so the
+    partitioned step's overflow flag can never fire for this batch."""
+    edges = np.searchsorted(u_sorted, np.asarray(bounds))
+    counts = np.diff(np.concatenate([[0], edges]))
+    caps = []
+    for c in counts:
+        cap = 1024
+        while cap < c:
+            cap <<= 1
+        caps.append(int(cap))
+    return tuple(caps)
+
+
 def _stream_epochs(ds, state, batch_size, epochs, seed, cap_mult, cap_max,
-                   step_for, keys, int_keys, log):
+                   step_for, keys, int_keys, log, part_bounds=None):
     """Drive a fused one-dispatch streaming trainer.
 
     Small datasets (<= EPOCH_SCAN_MAX_POSITIONS stacked positions) run
@@ -91,7 +116,9 @@ def _stream_epochs(ds, state, batch_size, epochs, seed, cap_mult, cap_max,
     positions = len(ds) * ds.ids.shape[1]
     epoch_losses = []
 
-    if positions <= EPOCH_SCAN_MAX_POSITIONS:
+    # the partitioned master streams per batch only (the epoch-scan path
+    # targets small datasets, where the packed layout is the right one)
+    if part_bounds is None and positions <= EPOCH_SCAN_MAX_POSITIONS:
         # the whole run as ONE program: dataset on device once, epochs
         # shuffled and streamed in-graph (fm_kernel.make_streaming_run)
         n = len(ds)
@@ -126,11 +153,20 @@ def _stream_epochs(ds, state, batch_size, epochs, seed, cap_mult, cap_max,
 
     def place(b):
         ids = b["ids"].astype(np.int32)
-        nu = _count_unique(ids, b["mask"])        # Prefetcher thread
-        return _capacity_octave(nu, cap_mult, cap_max), tuple(
+        arrays = tuple(
             jnp.asarray(b[k].astype(np.int32)) if k in int_keys
             else jnp.asarray(b[k])
             for k in keys)
+        if part_bounds is not None:
+            # partitioned master: per-partition octave caps need the
+            # sorted unique set (Prefetcher thread, like the count)
+            flat = np.asarray(ids).reshape(-1)
+            m = np.asarray(b["mask"]).reshape(-1)
+            u = np.unique(flat[m > 0])
+            cap = _capacity_octave(len(u), cap_mult, cap_max)
+            return (cap, _partition_caps_octave(u, part_bounds)), arrays
+        nu = _count_unique(ids, b["mask"])        # Prefetcher thread
+        return _capacity_octave(nu, cap_mult, cap_max), arrays
 
     pf = Prefetcher(
         lambda ep: sparse_batches(ds, batch_size, rng=np_rng), placer=place
@@ -186,7 +222,7 @@ def _capacity_octave(n_unique: int, mult: int, cap_max: int) -> int:
 def train_fm_kernel(ds, factor=8, learning_rate=0.05, l2=0.0, epochs=5,
                     batch_size=256, seed=0, exact=True, log=print,
                     wide_optimizer="adagrad", fine=True, xmat=True,
-                    mesh=None, wire="f32"):
+                    mesh=None, wire="f32", partitioned=False):
     """-> (params dict {w0,w,v}, per-epoch mean losses).
 
     Full-batch runs the design-matrix step by default (xmat=True: every
@@ -252,22 +288,49 @@ def train_fm_kernel(ds, factor=8, learning_rate=0.05, l2=0.0, epochs=5,
     # a single program dispatch — 4.2 ms vs 7.5 ms for separate
     # plan + step at B=256 (PARITY.md). The Prefetcher thread now only
     # stages host->device transfers.
+    # partitioned: range-PARTITIONED master — skewed production traffic's
+    # hot head pays small-table scatter rates (PARITY.md partitioned-
+    # master row); per-batch octave caps come from the Prefetcher thread
+    # so the step's overflow flag can never fire. Opt-in (CLI
+    # --partitioned): uniform traffic is cold-partition-bound where the
+    # split buys nothing.
+    part_bounds = _partition_bounds(ds.n_features) if partitioned else None
+    if part_bounds is not None and len(part_bounds) < 2:
+        part_bounds = None                       # vocab too small to split
+
     state = fm_kernel.streaming_init_packed(rng, cfg)
+    if part_bounds is not None:
+        state = fm_kernel.partition_streaming_state(state, part_bounds)
     # auto-capacity octaves: one compiled step per observed octave
     # (tests/test_auto_capacity.py: trajectories are capacity-invariant)
     cap_mult = 5120 if cfg.fine else 2 * TILE
     steps: dict = {}
 
-    def step_for(cap):
-        if cap not in steps:
-            steps[cap] = fm_kernel.make_streaming_train_step_fused(
-                cfg, cap, b_pad)
-        return steps[cap]
+    def step_for(key):
+        if key not in steps:
+            if isinstance(key, tuple):
+                cap, caps = key
+                inner = fm_kernel.make_streaming_train_step_fused_partitioned(
+                    cfg, cap, b_pad, part_bounds, caps)
+
+                def run(state, *b, _inner=inner):
+                    # caps are derived from each batch's true counts
+                    # (place()), so overflow is impossible here
+                    (state, loss), _overflow = _inner(state, *b)
+                    return state, loss
+
+                steps[key] = run
+            else:
+                steps[key] = fm_kernel.make_streaming_train_step_fused(
+                    cfg, key, b_pad)
+        return steps[key]
 
     state, epoch_losses = _stream_epochs(
         ds, state, batch_size, epochs, seed, cap_mult, capacity, step_for,
         keys=("ids", "vals", "mask", "labels", "row_mask"),
-        int_keys=("ids",), log=log)
+        int_keys=("ids",), log=log, part_bounds=part_bounds)
+    if part_bounds is not None:
+        state = fm_kernel.departition_streaming_state(state)
     table = np.asarray(fm_kernel.unpack_streaming_state(state).table)
     return {
         "w0": jnp.asarray(float(state.w0)),

@@ -153,3 +153,44 @@ def test_fused_partitioned_matches_fused_packed():
     np.testing.assert_allclose(np.asarray(back.packed),
                                np.asarray(st_f.packed),
                                rtol=1e-5, atol=2e-6)
+
+
+def test_engine_partitioned_matches_packed(monkeypatch):
+    """train_fm_kernel(partitioned=True) must reproduce the packed
+    engine's loss trajectory (same per-batch streaming path: the
+    epoch-scan branch is forced off so both see the SAME host
+    shuffling)."""
+    from lightctr_tpu.data.libffm import SparseDataset
+    from lightctr_tpu.train import kernel_engine
+
+    monkeypatch.setattr(kernel_engine, "EPOCH_SCAN_MAX_POSITIONS", 0)
+
+    rng = np.random.default_rng(0)
+    n, L, V = 256, 32, 70_000
+    ids = np.where(
+        rng.random((n, L)) < 0.5,
+        rng.integers(0, 64, (n, L)),
+        rng.integers(0, V, (n, L)),
+    ).astype(np.int32)
+    mask = (rng.random((n, L)) > 0.1).astype(np.float32)
+    ds = SparseDataset(
+        ids=ids, vals=np.ones((n, L), np.float32),
+        fields=np.zeros((n, L), np.int32), mask=mask,
+        labels=rng.integers(0, 2, (n,)).astype(np.float32),
+        nnz=mask.sum(1).astype(np.int32), n_features=V, n_fields=1)
+
+    kw = dict(factor=4, learning_rate=0.2, l2=1e-4, epochs=2,
+              batch_size=64, seed=0, exact=True, log=None)
+    params_p, losses_p = kernel_engine.train_fm_kernel(ds, **kw)
+    params_q, losses_q = kernel_engine.train_fm_kernel(
+        ds, partitioned=True, **kw)
+
+    np.testing.assert_allclose(losses_q, losses_p, rtol=1e-6)
+    # cross-program reduction-order ulps through Adagrad's 1/sqrt — see
+    # test_partitioned_matches_packed_trajectory's tolerance note
+    np.testing.assert_allclose(np.asarray(params_q["v"]),
+                               np.asarray(params_p["v"]),
+                               rtol=1e-5, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(params_q["w"]),
+                               np.asarray(params_p["w"]),
+                               rtol=1e-5, atol=5e-6)
