@@ -68,6 +68,13 @@ def main():
         "adam": dict(mlp_learning_rate=1e-3, mlp_optimizer="adam"),
         "adagrad_matched": dict(mlp_learning_rate=0.05,
                                 mlp_optimizer="adagrad"),
+        # r4 (settled): the reference's updater divides its accumulated
+        # L2 term by __global_minibatch_size=50 (gradientUpdater.h:141),
+        # so its nominal lambda=1e-3 is EFFECTIVELY ~2e-5 per batch.
+        # Matching the effective value lands our curve inside the
+        # reference's 42.1-45.5 band (PARITY_CURVES.md r4 section).
+        "adagrad_l2_effective": dict(mlp_learning_rate=0.05,
+                                     mlp_optimizer="adagrad", l2=2e-5),
     }
     variant = os.environ.get("NFM_MLP_VARIANT", "both")
 
@@ -77,14 +84,17 @@ def main():
             continue
         # warmup: compile this variant's one-program run (cached across
         # seeds; the adagrad tower is a different program than adam)
+        mkw = dict(mkw)
+        l2 = mkw.pop("l2", 1e-3)   # nominal match unless the variant
+        #                            pins the EFFECTIVE value (see above)
         train_nfm_kernel(ds, factor=10, hidden=(32,), learning_rate=0.05,
-                         l2=1e-3, epochs=30, batch_size=50, seed=99,
+                         l2=l2, epochs=30, batch_size=50, seed=99,
                          exact=True, log=None, activation="sigmoid", **mkw)
         for seed in (0, 1, 2):
             t0 = time.perf_counter()
             params, losses = train_nfm_kernel(
                 ds, factor=10, hidden=(32,), learning_rate=0.05,
-                l2=1e-3, epochs=30, batch_size=50,
+                l2=l2, epochs=30, batch_size=50,
                 seed=seed, exact=True, log=None, activation="sigmoid",
                 **mkw,
             )
