@@ -1,0 +1,117 @@
+"""Decompose the 9.25 ms partitioned zipf production step (BENCH_r04).
+
+The full step = pull (partitioned gathers) + _packed_rank_core (rank-
+space fwd/bwd + Adagrad) + push (partitioned scatters). Exchange in
+isolation measured pull 1.93 / push 3.54 ms
+(bench_partitioned_exchange.py) — this probe times the CORE alone and
+the pull+core prefix at the exact bench.py shapes, so the residual
+"rest" in the production row has its own receipt (and a target if it
+is attackable).
+
+    cd /root/repo && PYTHONPATH=/root/repo:/root/.axon_site \
+        timeout 3000 python benchmarks/bench_partitioned_decomp.py
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lightctr_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from lightctr_tpu.models import fm_kernel
+
+    small = bool(os.environ.get("LIGHTCTR_PROBE_SMALL"))
+    B, L, vocab = (256, 64, 100_000) if small else (4096, 64, 10_000_000)
+    rng = np.random.default_rng(0)
+    ones = np.ones((B, L), np.float32)
+    labels = rng.integers(0, 2, (B,)).astype(np.float32)
+    cfg = fm_kernel.KernelFMConfig(
+        n_features=vocab, factor=8, learning_rate=0.05, exact=False,
+        interpret=small and jax.default_backend() == "cpu",
+    )
+    ids = np.minimum(rng.zipf(1.2, (B, L)) - 1, vocab - 1).astype(np.int64)
+    plan = fm_kernel.plan_batch(ids, ones, ones, labels)
+    capacity = plan.n_rows_pad
+    b_pad = plan.b_pad
+    arrays = fm_kernel.plan_to_arrays(plan, capacity)
+    out = {"capacity": capacity, "n_unique": int(plan.n_unique)}
+
+    def time_fn(fn, *args, n=100, donate_state=False):
+        st = fn(*args)
+        jax.tree_util.tree_map(
+            lambda x: x.block_until_ready()
+            if hasattr(x, "block_until_ready") else x, st)
+        # chain through the first output; force with a readback
+        t0 = time.perf_counter()
+        cur = args[0]
+        for _ in range(n):
+            r = fn(cur, *args[1:])
+            cur = r[0] if isinstance(r, tuple) else r
+        leaf = jax.tree_util.tree_leaves(cur)[0]
+        float(np.asarray(leaf).ravel()[0])
+        return (time.perf_counter() - t0) / n
+
+    # ---- core alone: rank-space fwd/bwd + optimizer on device-resident
+    # pulled rows (the exchange never happens)
+    pulled0 = jnp.asarray(
+        rng.normal(size=(capacity, 32)).astype(np.float32) * 0.01)
+    w0 = jnp.float32(0.0)
+    w0a = jnp.float32(0.0)
+    dev_arrays = jax.tree_util.tree_map(jnp.asarray, arrays)
+
+    @jax.jit
+    def core_only(pulled, b):
+        packed_new, w0n, w0an, loss = fm_kernel._packed_rank_core(
+            cfg, pulled, b, b_pad, capacity, w0, w0a,
+            cfg.learning_rate, cfg.l2)
+        return packed_new, loss
+
+    dt = time_fn(core_only, pulled0, dev_arrays)
+    out["core_only_ms"] = round(dt * 1e3, 3)
+
+    # ---- full packed and partitioned steps (same numbers as bench.py,
+    # re-measured here so the decomposition is internally consistent)
+    state = fm_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg)
+    step = fm_kernel.make_streaming_train_step_packed(cfg, capacity, b_pad)
+    st, loss = step(state, arrays)
+    float(loss)
+    n = 100
+    t0 = time.perf_counter()
+    for _ in range(n):
+        st, loss = step(st, arrays)
+    float(loss)
+    out["packed_full_ms"] = round((time.perf_counter() - t0) / n * 1e3, 3)
+
+    bounds = ((4_096, 16_384, vocab) if small
+              else (65_536, 262_144, 1_048_576, vocab))
+    caps = fm_kernel.partition_caps_for(plan.uids, plan.n_unique, bounds)
+    stq = fm_kernel.partition_streaming_state(
+        fm_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg), bounds)
+    stepq = fm_kernel.make_streaming_train_step_partitioned(
+        cfg, capacity, b_pad, bounds, caps)
+    (stq, loss), ovf = stepq(stq, arrays)
+    assert not bool(ovf)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        (stq, loss), ovf = stepq(stq, arrays)
+    float(loss)
+    out["partitioned_full_ms"] = round(
+        (time.perf_counter() - t0) / n * 1e3, 3)
+
+    out["partitioned_exchange_resid_ms"] = round(
+        out["partitioned_full_ms"] - out["core_only_ms"], 3)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
