@@ -10,6 +10,7 @@ transport).
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -58,7 +59,10 @@ def main():
         ("nfm", nfm, nfm.NFMConfig(n_features=vocab, factor=8,
                                    hidden=(64,)), 4096),
     ]
+    only = os.environ.get("BENCH_SCORING_ONLY")
     for name, mod, cfg, B in jobs:
+        if only and name not in only.split(","):
+            continue
         batch = make_batch(B)
         # jit the init (eager ops each compile separately over the
         # tunnel — CLAUDE.md) and RETRY: remote compiles fail
