@@ -56,6 +56,11 @@ def main():
         # this measured number
         ("ffm_kernel", ffm,
          ffm.FFMConfig(n_features=vocab, n_fields=F, factor=4), 4096),
+        # fallback shape if the B=4096 kernel scorer's remote compile
+        # proves pathological (the dense forward already is): a real
+        # serving number at quarter batch still fills the table
+        ("ffm_kernel_b1024", ffm,
+         ffm.FFMConfig(n_features=vocab, n_fields=F, factor=4), 1024),
         ("nfm", nfm, nfm.NFMConfig(n_features=vocab, factor=8,
                                    hidden=(64,)), 4096),
     ]
@@ -72,7 +77,7 @@ def main():
                 t0 = time.perf_counter()
                 params = jax.jit(lambda rng: mod.init(rng, cfg))(
                     jax.random.PRNGKey(0))
-                if name == "ffm_kernel":
+                if name.startswith("ffm_kernel"):
                     score = make_ffm_kernel_scorer(cfg, params, B, L)
                 else:
                     score = make_scorer(mod, cfg, params)
