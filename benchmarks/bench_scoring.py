@@ -56,11 +56,16 @@ def main():
         # this measured number
         ("ffm_kernel", ffm,
          ffm.FFMConfig(n_features=vocab, n_fields=F, factor=4), 4096),
-        # fallback shape if the B=4096 kernel scorer's remote compile
-        # proves pathological (the dense forward already is): a real
-        # serving number at quarter batch still fills the table
-        ("ffm_kernel_b1024", ffm,
-         ffm.FFMConfig(n_features=vocab, n_fields=F, factor=4), 1024),
+        # fallback shapes: the B=4096 kernel scorer is out of reach on
+        # this stack — TWO broken-pipe remote compiles at ~25 min each
+        # (r4), and its count matrix C [B*F, capacity] is ~292 GB at
+        # that shape anyway; B=1024's C is 18.3 GB (> the 16 GB HBM).
+        # B<=512 keeps C <= 4.6 GB and matches the dense FFM job's
+        # batch; B=256 matches the streaming FFM trainer's proven shape
+        ("ffm_kernel_b512", ffm,
+         ffm.FFMConfig(n_features=vocab, n_fields=F, factor=4), 512),
+        ("ffm_kernel_b256", ffm,
+         ffm.FFMConfig(n_features=vocab, n_fields=F, factor=4), 256),
         ("nfm", nfm, nfm.NFMConfig(n_features=vocab, factor=8,
                                    hidden=(64,)), 4096),
     ]
