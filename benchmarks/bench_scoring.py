@@ -49,6 +49,13 @@ def main():
         ("fm", fm, fm.FMConfig(n_features=vocab, factor=8), 4096),
         ("ffm", ffm, ffm.FFMConfig(n_features=vocab, n_fields=F, factor=4),
          512),
+        # r4: the r3 "55-min compile pathology" at this shape was the
+        # 1.1 GB closure-captured params riding the remote-compile
+        # payload (fixed in make_scorer: params are runtime args now —
+        # B=512 compiles in 1.3 s). The full B=4096 regime is back on
+        # the menu: [B, L, F, K] is 303 MB transient
+        ("ffm_b4096", ffm,
+         ffm.FFMConfig(n_features=vocab, n_fields=F, factor=4), 4096),
         # the PRODUCT FFM serving path at the full B=4096 regime: the
         # count-matrix kernel formulation (make_ffm_kernel_scorer) — the
         # dense forward at this shape is a settled compile pathology
