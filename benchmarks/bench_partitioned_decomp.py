@@ -110,7 +110,44 @@ def main():
 
     out["partitioned_exchange_resid_ms"] = round(
         out["partitioned_full_ms"] - out["core_only_ms"], 3)
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
+
+    # ---- core variants: the first decomposition run showed the step is
+    # CORE-bound (core 8.1 of the 9.2 ms — the exchange overlaps almost
+    # fully), so the kernel choice inside _packed_rank_core is now the
+    # lever. Try the fine 5x128 windows (full-batch measured 2.13 vs
+    # coarse 2.65 ms) and the device-xmat count matrices (gated to
+    # small capacity by the engine — measure what "too big" costs here).
+    import dataclasses
+
+    for vname, vcfg, vfine in (
+        ("fine", dataclasses.replace(cfg, fine=True), True),
+        ("xmat", dataclasses.replace(cfg, xmat=True), False),
+    ):
+        vplan = fm_kernel.plan_batch(ids, ones, ones, labels, fine=vfine)
+        vcap = vplan.n_rows_pad
+        varrays = jax.tree_util.tree_map(
+            jnp.asarray, fm_kernel.plan_to_arrays(vplan, vcap))
+        vpulled = jnp.asarray(
+            rng.normal(size=(vcap, 32)).astype(np.float32) * 0.01)
+
+        @jax.jit
+        def vcore(pulled, b, _cfg=vcfg, _cap=vcap):
+            packed_new, w0n, w0an, loss = fm_kernel._packed_rank_core(
+                _cfg, pulled, b, b_pad, _cap, w0, w0a,
+                cfg.learning_rate, cfg.l2)
+            return packed_new, loss
+
+        try:
+            dt = time_fn(vcore, vpulled, varrays)
+        except Exception as e:                         # noqa: BLE001
+            out[f"core_{vname}_error"] = str(e)[:120]
+            print(json.dumps(out), flush=True)
+            continue
+        out[f"core_{vname}_ms"] = round(dt * 1e3, 3)
+        out[f"core_{vname}_capacity"] = vcap
+        print(json.dumps(out), flush=True)
+    print("FINAL " + json.dumps(out))
 
 
 if __name__ == "__main__":
