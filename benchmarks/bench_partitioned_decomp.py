@@ -123,6 +123,7 @@ def main():
     for vname, vcfg, vfine in (
         ("fine", dataclasses.replace(cfg, fine=True), True),
         ("xmat", dataclasses.replace(cfg, xmat=True), False),
+        ("fused", dataclasses.replace(cfg, fused=True), False),
     ):
         vplan = fm_kernel.plan_batch(ids, ones, ones, labels, fine=vfine)
         vcap = vplan.n_rows_pad
@@ -146,6 +147,26 @@ def main():
             continue
         out[f"core_{vname}_ms"] = round(dt * 1e3, 3)
         out[f"core_{vname}_capacity"] = vcap
+        print(json.dumps(out), flush=True)
+
+        if vname != "fused":
+            continue
+        # the winner candidate end-to-end: fused core inside the
+        # partitioned step at the production zipf shape
+        stf = fm_kernel.partition_streaming_state(
+            fm_kernel.streaming_init_packed(jax.random.PRNGKey(0), vcfg),
+            bounds)
+        stepf = fm_kernel.make_streaming_train_step_partitioned(
+            vcfg, vcap, b_pad, bounds, caps)
+        (stf, loss), ovf = stepf(stf, varrays)
+        assert not bool(ovf)
+        float(loss)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            (stf, loss), ovf = stepf(stf, varrays)
+        float(loss)
+        out["partitioned_full_fused_ms"] = round(
+            (time.perf_counter() - t0) / n * 1e3, 3)
         print(json.dumps(out), flush=True)
     print("FINAL " + json.dumps(out))
 

@@ -961,6 +961,24 @@ def _packed_rank_core(cfg: KernelFMConfig, pulled, b, b_pad: int, R: int,
     if cfg.xmat:
         loss, grad_rows, g0 = _xmat_rank_grads(
             cfg, rows, w0, b, b_pad, R)
+    elif cfg.fused:
+        # ONE two-phase pallas_call for fwd+loss+duals+bwd (r4: the
+        # streaming core is Mosaic GRID-OVERHEAD-bound at production
+        # capacities — ~5.8 us/slot across the separate fwd/bwd kernel
+        # sweeps; the fused kernel pays the sweep once. Measured core
+        # 8.25 -> see PARITY partitioned-master row). Same math as the
+        # branch below (tests/test_fm_partitioned.py pins equality).
+        labels_p = b["labels_padded"]
+        rmask_p = b["row_mask_padded"]
+        n_valid = jnp.maximum(jnp.sum(rmask_p), 1.0)
+        stats, grad_rows = K.fm_fused_step(
+            rows, b["ranks_sorted"], b["rowid_sorted"], b["xv_sorted"],
+            b["tile_base"], labels_p, rmask_p / n_valid, w0,
+            n_k=n_k, b_pad=b_pad, n_rows=R,
+            interpret=cfg.interpret, exact=cfg.exact,
+        )
+        loss = jnp.sum(stats[:, K.S - 1])
+        g0 = jnp.sum(stats[:, 0])
     else:
         rowsum, e_pos = kernel_forward(
             cfg, rows, b["ranks_sorted"], b["rowid_sorted"],

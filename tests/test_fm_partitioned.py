@@ -194,3 +194,55 @@ def test_engine_partitioned_matches_packed(monkeypatch):
     np.testing.assert_allclose(np.asarray(params_q["w"]),
                                np.asarray(params_p["w"]),
                                rtol=1e-5, atol=5e-6)
+
+
+def test_fused_core_matches_separate_kernels():
+    """cfg.fused routes _packed_rank_core through the ONE-pallas_call
+    two-phase kernel (r4: the streaming core is grid-overhead-bound at
+    production capacities). Same math as the separate fwd/bwd kernels —
+    multi-batch packed trajectories must agree to cross-program ulps."""
+    V, capacity, b_pad = 4096, 4 * TILE, 128
+    cfg_s, step_s, _ = _steps()
+    cfg_f, step_f, _ = _steps(fused=True)
+
+    st_s = fm_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg_s)
+    st_f = fm_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg_f)
+
+    for i in range(5):
+        ids, vals, mask, labels = _toy(seed=i, zipfish=(i % 2 == 0))
+        b = fm_kernel.plan_batch_on_device(
+            jnp.asarray(ids, jnp.int32), jnp.asarray(vals),
+            jnp.asarray(mask), jnp.asarray(labels),
+            jnp.ones((64,), jnp.float32), capacity=capacity, b_pad=b_pad)
+        st_s, ls = step_s(st_s, b)
+        st_f, lf = step_f(st_f, b)
+        np.testing.assert_allclose(float(ls), float(lf), rtol=1e-5)
+
+    np.testing.assert_allclose(np.asarray(st_f.packed),
+                               np.asarray(st_s.packed),
+                               rtol=1e-5, atol=2e-6)
+
+
+def test_fused_core_partitioned_matches_packed():
+    """fused core inside the PARTITIONED step: trajectory equality vs
+    the fused packed step (the production zipf configuration)."""
+    cfg, step_p, step_q = _steps(fused=True)
+    st_p = fm_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg)
+    st_q = fm_kernel.partition_streaming_state(
+        fm_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg), BOUNDS)
+
+    for i in range(4):
+        ids, vals, mask, labels = _toy(seed=10 + i)
+        b = fm_kernel.plan_batch_on_device(
+            jnp.asarray(ids, jnp.int32), jnp.asarray(vals),
+            jnp.asarray(mask), jnp.asarray(labels),
+            jnp.ones((64,), jnp.float32), capacity=4 * TILE, b_pad=128)
+        st_p, lp = step_p(st_p, b)
+        (st_q, lq), overflow = step_q(st_q, b)
+        assert not bool(overflow)
+        np.testing.assert_allclose(float(lp), float(lq), rtol=1e-6)
+
+    back = fm_kernel.departition_streaming_state(st_q)
+    np.testing.assert_allclose(np.asarray(back.packed),
+                               np.asarray(st_p.packed),
+                               rtol=1e-5, atol=2e-6)
