@@ -158,9 +158,9 @@ def main():
         out[f"core_{vname}_capacity"] = vcap
         print(json.dumps(out), flush=True)
 
-        if vname != "fused":
+        if vname == "xmat":
             continue
-        # the winner candidate end-to-end: fused core inside the
+        # winner candidates end-to-end: fine / fused core inside the
         # partitioned step at the production zipf shape
         stf = fm_kernel.partition_streaming_state(
             fm_kernel.streaming_init_packed(jax.random.PRNGKey(0), vcfg),
@@ -174,7 +174,7 @@ def main():
         for _ in range(n):
             (stf, loss), ovf = stepf(stf, varrays)
         float(loss)
-        out["partitioned_full_fused_ms"] = round(
+        out[f"partitioned_full_{vname}_ms"] = round(
             (time.perf_counter() - t0) / n * 1e3, 3)
         print(json.dumps(out), flush=True)
     print("FINAL " + json.dumps(out))
