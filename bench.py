@@ -172,20 +172,30 @@ def production_main():
         # (PARITY.md partitioned-master row).
         if not name:
             continue
+        # fine 5x128 windows: the r4 decomposition showed this step is
+        # CORE-bound (core 7.7 of 9.2 ms; exchange overlaps to a ~1.5 ms
+        # residual) and the fine kernels cut the core 7.7 -> 6.4
+        # (bench_partitioned_decomp.py; fused rejected — b_pad=4096
+        # blocks crash the Mosaic compiler, bench_fused_probe.py)
+        import dataclasses
+        cfg_q = dataclasses.replace(cfg, fine=True)
+        plan_q = fm_kernel.plan_batch(ids, ones, ones, labels, fine=True)
+        cap_q = plan_q.n_rows_pad
+        arrays_q = fm_kernel.plan_to_arrays(plan_q, cap_q)
         bounds = (65_536, 262_144, 1_048_576, vocab)
         caps = fm_kernel.partition_caps_for(
-            plan.uids, plan.n_unique, bounds)
+            plan_q.uids, plan_q.n_unique, bounds)
         state_q = fm_kernel.partition_streaming_state(
-            fm_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg),
+            fm_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg_q),
             bounds)
         step_q = fm_kernel.make_streaming_train_step_partitioned(
-            cfg, capacity, plan.b_pad, bounds, caps)
-        (state_q, loss), overflow = step_q(state_q, arrays)
+            cfg_q, cap_q, plan_q.b_pad, bounds, caps)
+        (state_q, loss), overflow = step_q(state_q, arrays_q)
         assert not bool(overflow), (caps, "partition caps overflowed")
         float(loss)
         t0 = time.perf_counter()
         for _ in range(n):
-            (state_q, loss), overflow = step_q(state_q, arrays)
+            (state_q, loss), overflow = step_q(state_q, arrays_q)
         float(loss)
         dtq = (time.perf_counter() - t0) / n
         out[f"production_{name}partitioned_examples_per_sec"] = round(
