@@ -218,3 +218,124 @@ class IVFIndex:
         return _ivf_query(jnp.asarray(queries, jnp.float32),
                           self.centroids, self.bucket_ids, self.items_ext,
                           self.tail_ids, self.n_items, k, nprobe, metric)
+
+
+class ShardedIVFIndex:
+    """IVF index with bucket SLOTS striped over a mesh axis — the
+    100M-catalogue serving layout: each device holds ~1/n of the item
+    VECTORS (repacked per slot, not a full items table per device), all
+    devices score their slice of every probed bucket plus their slice of
+    the overflow tail, and a k-way all-gather merge produces the global
+    top-k. Coverage stays exact (every item lives in exactly one bucket
+    slot or tail slot, so slot striping partitions the catalogue).
+
+    Built FROM an IVFIndex (the k-means/bucketing work is identical);
+    query results match the unsharded index up to score ties
+    (tests/test_ivf_ann.py::test_sharded_ivf_matches_unsharded).
+
+    Reference analogue: predict/ann_index.h's forest held on one host;
+    the TPU-native scale-out is a mesh-sharded shortlist + psum-free
+    all-gather merge over ICI (SURVEY §5.8 table).
+    """
+
+    def __init__(self, base: IVFIndex, mesh: Mesh, axis: str = "model"):
+        import numpy as np
+
+        n_dev = mesh.shape[axis]
+        N = base.n_items
+        bucket_ids = np.asarray(base.bucket_ids)          # [C, cap]
+        C, cap = bucket_ids.shape
+        cap_d = -(-cap // n_dev)
+        if cap_d * n_dev > cap:
+            bucket_ids = np.concatenate(
+                [bucket_ids,
+                 np.full((C, cap_d * n_dev - cap), N, np.int32)], axis=1)
+        # slot s of every bucket -> device s % n_dev
+        ids_striped = bucket_ids.reshape(C, cap_d, n_dev).transpose(2, 0, 1)
+        items_ext = np.asarray(base.items_ext)            # [N+1, D]
+        tail = np.asarray(base.tail_ids)
+        t_d = -(-len(tail) // n_dev)
+        if t_d * n_dev > len(tail):
+            tail = np.concatenate(
+                [tail, np.full(t_d * n_dev - len(tail), N, np.int32)])
+        tail_striped = tail.reshape(t_d, n_dev).T         # [n_dev, t_d]
+
+        put = lambda a, spec: jax.device_put(
+            jnp.asarray(a), NamedSharding(mesh, spec))
+        self.bucket_vecs = put(items_ext[ids_striped],
+                               P(axis, None, None, None))
+        self.bucket_ids = put(ids_striped, P(axis, None, None))
+        self.tail_vecs = put(items_ext[tail_striped], P(axis, None, None))
+        self.tail_ids = put(tail_striped, P(axis, None))
+        self.centroids = put(np.asarray(base.centroids), P())
+        self.n_items = N
+        self.mesh = mesh
+        self.axis = axis
+        self._compiled: dict = {}
+
+    def query(self, queries, k: int = 10, nprobe: int = 8,
+              metric: str = "ip"):
+        fn = self._compiled.get((k, nprobe, metric))
+        if fn is None:
+            fn = self._build_query(k, nprobe, metric)
+            self._compiled[(k, nprobe, metric)] = fn
+        return fn(jnp.asarray(queries, jnp.float32), self.centroids,
+                  self.bucket_vecs, self.bucket_ids, self.tail_vecs,
+                  self.tail_ids)
+
+    def _build_query(self, k: int, nprobe: int, metric: str):
+        from jax.experimental.shard_map import shard_map
+
+        mesh, axis = self.mesh, self.axis
+        neg = jnp.finfo(jnp.float32).min
+        N = self.n_items
+
+        def local(q, cent, bvecs, bids, tvecs, tids):
+            bvecs, bids = bvecs[0], bids[0]      # [C, cap_d, D], [C, cap_d]
+            tvecs, tids = tvecs[0], tids[0]      # [t_d, D], [t_d]
+            b = q.shape[0]
+            if metric == "cos":
+                q = q / jnp.linalg.norm(q, axis=-1, keepdims=True).clip(1e-12)
+                cent_n = cent / jnp.linalg.norm(
+                    cent, axis=-1, keepdims=True).clip(1e-12)
+            else:
+                cent_n = cent
+            cs = jnp.dot(q, cent_n.T, preferred_element_type=jnp.float32)
+            if metric == "l2":
+                cs = 2.0 * cs - jnp.sum(cent * cent, axis=-1)[None, :]
+            _, probe = jax.lax.top_k(cs, nprobe)          # [B, nprobe]
+
+            cand = bvecs[probe].reshape(b, -1, bvecs.shape[-1])
+            cand_i = bids[probe].reshape(b, -1)
+            cand = jnp.concatenate(
+                [cand, jnp.broadcast_to(tvecs[None],
+                                        (b, *tvecs.shape))], axis=1)
+            cand_i = jnp.concatenate(
+                [cand_i, jnp.broadcast_to(tids[None], (b, tids.shape[0]))],
+                axis=1)
+            if metric == "cos":
+                cand = cand / jnp.linalg.norm(
+                    cand, axis=-1, keepdims=True).clip(1e-12)
+            s = jnp.einsum("bd,bnd->bn", q, cand,
+                           preferred_element_type=jnp.float32)
+            if metric == "l2":
+                s = 2.0 * s - jnp.sum(cand * cand, axis=-1)
+            s = jnp.where(cand_i < N, s, neg)
+            ls, lp = jax.lax.top_k(s, k)
+            li = jnp.take_along_axis(cand_i, lp, axis=1)
+            # merge: every device sees all local winners, redundantly
+            # computes the same global top-k (replicated output)
+            gs = jax.lax.all_gather(ls, axis)             # [n_dev, B, k]
+            gi = jax.lax.all_gather(li, axis)
+            cat_s = jnp.swapaxes(gs, 0, 1).reshape(b, -1)
+            cat_i = jnp.swapaxes(gi, 0, 1).reshape(b, -1)
+            fs, fp = jax.lax.top_k(cat_s, k)
+            return fs, jnp.take_along_axis(cat_i, fp, axis=1)
+
+        mapped = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )
+        return jax.jit(mapped)

@@ -63,3 +63,45 @@ def test_ivf_pad_ids_never_returned():
     q = rng.normal(size=(16, 16)).astype(np.float32)
     _, ids = idx.query(q, k=50, nprobe=8, metric="ip")
     assert int(np.asarray(ids).max()) < idx.n_items
+
+
+@pytest.mark.parametrize("metric", ["ip", "cos"])
+def test_sharded_ivf_matches_unsharded(metric):
+    """ShardedIVFIndex (bucket slots striped over the model axis,
+    per-device vectors + all-gather top-k merge) must return the same
+    candidates as the unsharded index it was built from — striping
+    changes only WHERE a slot is scored, never its score."""
+    from lightctr_tpu.parallel.mesh import make_mesh
+    from lightctr_tpu.serve.ann import ShardedIVFIndex
+
+    items, rng, modes = _clustered(n=8192, n_modes=16, seed=3)
+    idx = IVFIndex(items, n_clusters=16, n_iters=6, train_size=4096,
+                   seed=3)
+    sidx = ShardedIVFIndex(idx, make_mesh(data=1, model=8))
+    queries = (modes[rng.integers(0, 16, 24)]
+               + rng.normal(size=(24, 16)).astype(np.float32))
+    k = 15
+    s_u, i_u = idx.query(queries, k=k, nprobe=4, metric=metric)
+    s_s, i_s = sidx.query(queries, k=k, nprobe=4, metric=metric)
+    # scores identical up to top-k tie order
+    np.testing.assert_allclose(np.asarray(s_s), np.asarray(s_u),
+                               rtol=1e-5, atol=1e-5)
+    for b in range(24):
+        assert set(np.asarray(i_s[b]).tolist()) \
+            == set(np.asarray(i_u[b]).tolist()), b
+
+
+def test_sharded_ivf_memory_is_partitioned():
+    """Each device's addressable shard holds ~1/n of the bucket-slot
+    vectors (the whole point: catalogues beyond one chip's HBM)."""
+    from lightctr_tpu.parallel.mesh import make_mesh
+    from lightctr_tpu.serve.ann import ShardedIVFIndex
+
+    items, _, _ = _clustered(n=4096, n_modes=8, seed=4)
+    idx = IVFIndex(items, n_clusters=8, n_iters=4, train_size=2048, seed=4)
+    sidx = ShardedIVFIndex(idx, make_mesh(data=1, model=8))
+    n_dev, C, cap_d, D = sidx.bucket_vecs.shape
+    assert n_dev == 8
+    shard_shapes = {s.data.shape
+                    for s in sidx.bucket_vecs.addressable_shards}
+    assert shard_shapes == {(1, C, cap_d, D)}
