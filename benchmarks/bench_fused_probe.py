@@ -34,6 +34,10 @@ def main():
         ("big_R", 1024, 34816, 245760),
         ("big_bpad", 4096, 9216, 245760),
         ("production", 4096, 34816, 262144),
+        # bisect the b_pad cliff: if 2048 compiles, a half-batch split
+        # (two fused calls over the shared rank space) covers B=4096
+        ("bpad2048", 2048, 34816, 262144),
+        ("bpad1536", 1536, 34816, 262144),
     ]
     for label, b_pad, R, n in shapes:
         ranks = np.sort(rng.integers(0, R - 1, n)).astype(np.int32)
