@@ -131,13 +131,18 @@ def main():
         # (bench_fused_probe.py receipts) — zipf-only variants
         variants += [
             ("xmat", dataclasses.replace(cfg, xmat=True), False),
-            ("fused", dataclasses.replace(cfg, fused=True), False),
+            # plain fused is a settled compiler crash at b_pad=4096;
+            # splitfused runs TWO b_pad=2048 fused calls over the
+            # shared rank space (plan_to_arrays_split)
+            ("splitfused", dataclasses.replace(cfg, fused=True), False),
         ]
     for vname, vcfg, vfine in variants:
         vplan = fm_kernel.plan_batch(ids, ones, ones, labels, fine=vfine)
         vcap = vplan.n_rows_pad
+        to_arrays = (fm_kernel.plan_to_arrays_split
+                     if vname == "splitfused" else fm_kernel.plan_to_arrays)
         varrays = jax.tree_util.tree_map(
-            jnp.asarray, fm_kernel.plan_to_arrays(vplan, vcap))
+            jnp.asarray, to_arrays(vplan, vcap))
         vpulled = jnp.asarray(
             rng.normal(size=(vcap, 32)).astype(np.float32) * 0.01)
 

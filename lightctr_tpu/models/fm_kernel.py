@@ -961,6 +961,33 @@ def _packed_rank_core(cfg: KernelFMConfig, pulled, b, b_pad: int, R: int,
     if cfg.xmat:
         loss, grad_rows, g0 = _xmat_rank_grads(
             cfg, rows, w0, b, b_pad, R)
+    elif cfg.fused and "halves" in b:
+        # SPLIT-fused: the fused kernel's stats block cannot compile at
+        # b_pad=4096 (Mosaic tpu_compile_helper crash; b_pad<=2048 fine
+        # — benchmarks/bench_fused_probe.py bisect), so the position
+        # stream is partitioned by row-half on the host
+        # (plan_to_arrays_split: stable subsequences of the rank-sorted
+        # layout stay rank-sorted) and each half runs its own fused
+        # call over the SHARED rank space. Rows partition cleanly
+        # between halves, so stats are independent and grad_rows add;
+        # total grid slots match one full-batch fused call.
+        rmask_p = b["row_mask_padded"]
+        n_valid = jnp.maximum(jnp.sum(rmask_p), 1.0)
+        loss = jnp.float32(0.0)
+        g0 = jnp.float32(0.0)
+        grad_rows = jnp.zeros_like(rows)
+        for hb in b["halves"]:
+            bh = hb["labels_padded"].shape[0]
+            stats, gr = K.fm_fused_step(
+                rows, hb["ranks_sorted"], hb["rowid_sorted"],
+                hb["xv_sorted"], hb["tile_base"], hb["labels_padded"],
+                hb["row_mask_padded"] / n_valid, w0,
+                n_k=n_k, b_pad=bh, n_rows=R,
+                interpret=cfg.interpret, exact=cfg.exact,
+            )
+            loss = loss + jnp.sum(stats[:, K.S - 1])
+            g0 = g0 + jnp.sum(stats[:, 0])
+            grad_rows = grad_rows + gr
     elif cfg.fused:
         # ONE two-phase pallas_call for fwd+loss+duals+bwd (r4: the
         # streaming core is Mosaic GRID-OVERHEAD-bound at production
@@ -1378,6 +1405,55 @@ def plan_to_arrays(plan: BatchPlan, capacity: int) -> dict:
         "labels_padded": labels_p,
         "row_mask_padded": rmask_p,
     }
+
+
+def plan_to_arrays_split(plan: BatchPlan, capacity: int,
+                         n_halves: int = 2) -> dict:
+    """plan_to_arrays plus a `halves` tuple: the position stream
+    partitioned by row-block into `n_halves` independently fused-able
+    sub-streams. A stable subsequence of the rank-sorted layout stays
+    rank-sorted, so each half keeps the window-locality invariant; pad
+    slots carry rank=capacity-1 / xv=0 (harmless, sorted-at-end).
+
+    Exists because fm_fused_step's stats block cannot compile past
+    b_pad=2048 on this stack (bench_fused_probe.py) — with halves the
+    fused core covers b_pad=4096 production batches
+    (_packed_rank_core split-fused branch, equality-tested)."""
+    import numpy as np
+
+    arrays = plan_to_arrays(plan, capacity)
+    n = int(plan.ranks_sorted.shape[0])
+    b_pad = plan.b_pad
+    assert b_pad % n_halves == 0, (b_pad, n_halves)
+    bh = b_pad // n_halves
+    rowid = np.asarray(plan.rowid_sorted)
+    ranks = np.asarray(plan.ranks_sorted)
+    xv = np.asarray(plan.xv_sorted)
+    labels_p = np.asarray(arrays["labels_padded"])
+    rmask_p = np.asarray(arrays["row_mask_padded"])
+    n_h = -(-n // n_halves // TILE) * TILE
+    halves = []
+    for h in range(n_halves):
+        sel = (rowid >= h * bh) & (rowid < (h + 1) * bh)
+        cnt = int(sel.sum())
+        assert cnt <= n_h, (cnt, n_h, "uneven split: raise n_h")
+        rk = np.full(n_h, capacity - 1, np.int32)
+        rk[:cnt] = ranks[sel]
+        rd = np.full(n_h, bh - 1, np.int32)
+        rd[:cnt] = rowid[sel] - h * bh
+        xh = np.zeros(n_h, np.float32)
+        xh[:cnt] = xv[sel]
+        tb = np.minimum(rk[::TILE] // TILE, capacity // TILE - 2)
+        halves.append({
+            "ranks_sorted": jnp.asarray(rk),
+            "rowid_sorted": jnp.asarray(rd),
+            "xv_sorted": jnp.asarray(xh),
+            "tile_base": jnp.asarray(tb.astype(np.int32)),
+            "labels_padded": jnp.asarray(labels_p[h * bh:(h + 1) * bh]),
+            "row_mask_padded": jnp.asarray(rmask_p[h * bh:(h + 1) * bh]),
+        })
+    arrays["halves"] = tuple(halves)
+    return arrays
 
 
 def export_tables(state: KernelFMState, plan: BatchPlan, cfg: KernelFMConfig):

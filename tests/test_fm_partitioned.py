@@ -246,3 +246,46 @@ def test_fused_core_partitioned_matches_packed():
     np.testing.assert_allclose(np.asarray(back.packed),
                                np.asarray(st_p.packed),
                                rtol=1e-5, atol=2e-6)
+
+
+def test_split_fused_core_matches_plain():
+    """plan_to_arrays_split + cfg.fused: two half-batch fused calls over
+    the shared rank space must reproduce the plain packed step (rows
+    partition cleanly between halves; grad_rows add)."""
+    rng = np.random.default_rng(5)
+    B, L, V = 128, 16, 4096
+    capacity = 4 * TILE
+    ids = rng.integers(0, V, (B, L)).astype(np.int64)
+    vals = rng.random((B, L)).astype(np.float32)
+    mask = (rng.random((B, L)) > 0.2).astype(np.float32)
+    labels = rng.integers(0, 2, (B,)).astype(np.float32)
+
+    plan = fm_kernel.plan_batch(ids, vals, mask, labels,
+                                n_rows_pad=capacity)
+    b_pad = plan.b_pad
+    arrays = fm_kernel.plan_to_arrays(plan, capacity)
+    arrays_s = fm_kernel.plan_to_arrays_split(plan, capacity, n_halves=2)
+
+    cfg_p = fm_kernel.KernelFMConfig(
+        n_features=V, factor=4, learning_rate=0.2, l2=1e-4,
+        interpret=True, exact=True)
+    cfg_f = fm_kernel.KernelFMConfig(
+        n_features=V, factor=4, learning_rate=0.2, l2=1e-4,
+        interpret=True, exact=True, fused=True)
+
+    step_p = fm_kernel.make_streaming_train_step_packed(cfg_p, capacity,
+                                                        b_pad)
+    step_f = fm_kernel.make_streaming_train_step_packed(cfg_f, capacity,
+                                                        b_pad)
+    st_p = fm_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg_p)
+    st_f = fm_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg_f)
+    for _ in range(3):
+        st_p, lp = step_p(st_p, arrays)
+        st_f, lf = step_f(st_f, arrays_s)
+        np.testing.assert_allclose(float(lp), float(lf), rtol=1e-5)
+    # splitting changes the position-accumulation order (gr_A + gr_B vs
+    # one sweep), and those ulps pass through Adagrad's 1/sqrt on
+    # near-zero accums — observed max 7e-6 abs on 4/131072 elements
+    np.testing.assert_allclose(np.asarray(st_f.packed),
+                               np.asarray(st_p.packed),
+                               rtol=1e-4, atol=1e-5)
