@@ -56,19 +56,15 @@ def main():
         # the menu: [B, L, F, K] is 303 MB transient
         ("ffm_b4096", ffm,
          ffm.FFMConfig(n_features=vocab, n_fields=F, factor=4), 4096),
-        # the PRODUCT FFM serving path at the full B=4096 regime: the
-        # count-matrix kernel formulation (make_ffm_kernel_scorer) — the
-        # dense forward at this shape is a settled compile pathology
-        # (PARITY.md serving section); VERDICT r3 missing #3 asked for
-        # this measured number
-        ("ffm_kernel", ffm,
-         ffm.FFMConfig(n_features=vocab, n_fields=F, factor=4), 4096),
-        # fallback shapes: the B=4096 kernel scorer is out of reach on
-        # this stack — TWO broken-pipe remote compiles at ~25 min each
-        # (r4), and its count matrix C [B*F, capacity] is ~292 GB at
-        # that shape anyway; B=1024's C is 18.3 GB (> the 16 GB HBM).
-        # B<=512 keeps C <= 4.6 GB and matches the dense FFM job's
-        # batch; B=256 matches the streaming FFM trainer's proven shape
+        # NOT in the default set: ffm_kernel at B=4096 is shape-infeasible
+        # on this stack — its count matrix C [B*F, capacity] is ~292 GB,
+        # and r4 paid TWO broken-pipe remote compiles at ~25 min each
+        # finding out (killed compiles degrade the shared tunnel —
+        # CLAUDE.md). Select explicitly via BENCH_SCORING_ONLY=ffm_kernel
+        # if a future stack changes the math. The feasible kernel-scorer
+        # shapes below are the default evidence: B<=512 keeps C <= 4.6 GB
+        # and matches the dense FFM job's batch; B=256 matches the
+        # streaming FFM trainer's proven shape.
         ("ffm_kernel_b512", ffm,
          ffm.FFMConfig(n_features=vocab, n_fields=F, factor=4), 512),
         ("ffm_kernel_b256", ffm,
@@ -77,6 +73,11 @@ def main():
                                    hidden=(64,)), 4096),
     ]
     only = os.environ.get("BENCH_SCORING_ONLY")
+    if only and "ffm_kernel" in only.split(","):
+        # opt-in only (see the note above the fallback shapes)
+        jobs.append(("ffm_kernel", ffm,
+                     ffm.FFMConfig(n_features=vocab, n_fields=F, factor=4),
+                     4096))
     for name, mod, cfg, B in jobs:
         if only and name not in only.split(","):
             continue

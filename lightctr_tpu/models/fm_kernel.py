@@ -1149,10 +1149,17 @@ def make_streaming_train_step_partitioned(cfg: KernelFMConfig,
     (partition_caps_for). Returns step(state, b, hyper) ->
     ((state, loss), overflow) where overflow (bool scalar) is True iff
     any partition's batch row count exceeded its cap — the updated state
-    is then INCOMPLETE (uncovered rows unwritten) and the caller must
-    discard it and re-run the batch through a packed step or with
-    bigger caps. The engine treats overflow as a loud re-plan signal;
-    correctness never depends on cap sizing.
+    is then INCOMPLETE (uncovered rows unwritten). NOTE the donation
+    contract: the step donates the input state (donate_argnums=(0,)),
+    so by the time overflow reads True the PRE-step buffers are gone —
+    a caller that wants to re-run the overflowed batch (through a
+    packed step or with bigger caps) must keep its own host-side copy
+    of the state from before the step; without one the only sound
+    recovery is to continue from the partial state knowing the
+    uncovered rows missed one update. The in-tree engine never hits
+    this: it derives caps from true per-batch unique counts
+    (partition_caps_for), making overflow structurally impossible, and
+    asserts on the flag. Correctness never depends on cap sizing.
 
     Numerics: bit-identical to make_streaming_train_step_packed (shared
     _packed_rank_core; the pull/push split by partitions touches
@@ -1431,12 +1438,18 @@ def plan_to_arrays_split(plan: BatchPlan, capacity: int,
     xv = np.asarray(plan.xv_sorted)
     labels_p = np.asarray(arrays["labels_padded"])
     rmask_p = np.asarray(arrays["row_mask_padded"])
-    n_h = -(-n // n_halves // TILE) * TILE
+    # size the half buffers from the ACTUAL max per-half count: padded
+    # positions carry a real rowid (order // L), so a half whose row range
+    # holds the padding can exceed ceil(n/n_halves) — sizing beats asserting
+    sels = [(rowid >= h * bh) & (rowid < (h + 1) * bh)
+            for h in range(n_halves)]
+    n_h = max(-(-n // n_halves),
+              max(int(s.sum()) for s in sels))
+    n_h = -(-n_h // TILE) * TILE
     halves = []
     for h in range(n_halves):
-        sel = (rowid >= h * bh) & (rowid < (h + 1) * bh)
+        sel = sels[h]
         cnt = int(sel.sum())
-        assert cnt <= n_h, (cnt, n_h, "uneven split: raise n_h")
         rk = np.full(n_h, capacity - 1, np.int32)
         rk[:cnt] = ranks[sel]
         rd = np.full(n_h, bh - 1, np.int32)

@@ -3,7 +3,12 @@
 Capability parity with the reference's wire/storage compressors:
   - QuantileCompress (util/quantile_compress.h:23-158): fp32 -> intN by CDF
     quantile tables, UNIFORM/LOG/NORMAL distributions; binary-search encode
-    becomes one vectorised jnp.searchsorted.
+    becomes one vectorised jnp.searchsorted. CUSTOM_DISTRIBUT
+    (quantile_compress.h:65-105 with significance.h CustomCDF/ReverseCDF)
+    is the N(mu, sigma) table over an observed [lo, hi] range; `fit()`
+    builds it from data (mu/sigma/range estimated from the values), and the
+    extra 'empirical' mode goes further: table entries straight from the
+    observed value CDF's quantiles.
   - Product_quantizer (util/product_quantizer.h:47-194): split the embedding
     dim into parts, k-means per part (with empty-cluster splitting
     :166-185), uint8 codes. K-means here is jitted E/M over all parts at
@@ -43,13 +48,73 @@ def _normal_table(n_levels: int):
     return jnp.sqrt(2.0) * erfinv(2.0 * p - 1.0)
 
 
+def _custom_table(n_levels: int, mu: float, sigma: float, lo: float, hi: float):
+    """N(mu, sigma) inverse-CDF table over [lo, hi].
+
+    Mirrors the reference's CUSTOM_DISTRIBUT init (quantile_compress.h:81,
+    101-105): minCDF = Phi((lo-mu)/sigma), maxCDF = Phi((hi-mu)/sigma),
+    entry i = ReverseCDF(minCDF + i*delta, mu, sigma) with entry 0 pinned
+    to lo. The reference's bisection ReverseCDF (significance.h:44-60) is
+    the closed form mu + sigma*sqrt(2)*erfinv(2p-1) here.
+    """
+    lo_p = 0.5 * (1.0 + erf((lo - mu) / (sigma * jnp.sqrt(2.0))))
+    hi_p = 0.5 * (1.0 + erf((hi - mu) / (sigma * jnp.sqrt(2.0))))
+    delta = (hi_p - lo_p) / n_levels
+    p = lo_p + jnp.arange(n_levels) * delta
+    t = mu + sigma * jnp.sqrt(2.0) * erfinv(jnp.clip(2.0 * p - 1.0, -1 + 1e-7, 1 - 1e-7))
+    return t.at[0].set(lo)
+
+
 @dataclasses.dataclass(frozen=True)
 class QuantileCompress:
-    """Encode fp32 in [-scale, scale] to intN level indices."""
+    """Encode fp32 in [-scale, scale] to intN level indices.
+
+    'custom' is the reference's CUSTOM_DISTRIBUT: an N(mu, sigma) quantile
+    table over [lo, hi] — use `QuantileCompress.fit(values, ...)` to build
+    it from observed data. 'empirical' stores the observed CDF's own
+    quantiles as the table (fit-only; strictly data-driven).
+    """
 
     n_bits: int = 8
-    distribution: str = "uniform"  # 'uniform' | 'log' | 'normal'
+    distribution: str = "uniform"  # 'uniform' | 'log' | 'normal' | 'custom' | 'empirical'
     scale: float = 1.0
+    mu: float = 0.0
+    sigma: float = 1.0
+    lo: float = -1.0
+    hi: float = 1.0
+    table_values: tuple | None = None  # 'empirical' mode: the fitted table
+
+    @classmethod
+    def fit(cls, values, n_bits: int = 8, distribution: str = "custom"):
+        """Build a data-driven compressor from observed values.
+
+        distribution='custom': estimate mu/sigma/lo/hi and use the normal
+        inverse-CDF table (reference CUSTOM_DISTRIBUT semantics).
+        distribution='empirical': table = midpoint quantiles of the observed
+        value CDF itself (no distributional assumption).
+        """
+        v = np.asarray(values, np.float64).reshape(-1)
+        assert v.size > 1, "fit needs at least 2 observed values"
+        lo, hi = float(v.min()), float(v.max())
+        assert hi > lo, "fit needs a non-degenerate value range"
+        if distribution == "empirical":
+            n_levels = 1 << n_bits
+            q = (np.arange(n_levels) + 0.5) / n_levels
+            tbl = np.quantile(v, q)
+            tbl = np.maximum.accumulate(tbl)  # monotone even under fp ties
+            return cls(
+                n_bits=n_bits,
+                distribution="empirical",
+                lo=lo,
+                hi=hi,
+                table_values=tuple(float(x) for x in tbl),
+            )
+        assert distribution == "custom", distribution
+        mu = float(v.mean())
+        sigma = float(max(v.std(), 1e-12))
+        return cls(
+            n_bits=n_bits, distribution="custom", mu=mu, sigma=sigma, lo=lo, hi=hi
+        )
 
     def table(self) -> jax.Array:
         n_levels = 1 << self.n_bits
@@ -58,6 +123,14 @@ class QuantileCompress:
         elif self.distribution == "normal":
             t = _normal_table(n_levels)
             t = t / jnp.max(jnp.abs(t))
+        elif self.distribution == "custom":
+            return _custom_table(n_levels, self.mu, self.sigma, self.lo, self.hi)
+        elif self.distribution == "empirical":
+            assert self.table_values is not None, (
+                "'empirical' requires QuantileCompress.fit(values, ...)"
+            )
+            assert len(self.table_values) == n_levels
+            return jnp.asarray(self.table_values, jnp.float32)
         else:
             t = _uniform_table(n_levels)
         return t * self.scale

@@ -80,6 +80,45 @@ def test_quantile_compress_roundtrip():
         assert np.abs(decoded - x).mean() < 0.02, dist
 
 
+def test_quantile_compress_custom_fit_roundtrip():
+    # reference CUSTOM_DISTRIBUT: N(mu, sigma) table fit from observed data
+    # (quantile_compress.h:65-105); skewed off-center values so that the
+    # default uniform/normal tables would be a poor match.
+    rng = np.random.default_rng(3)
+    x = rng.normal(5.0, 0.25, size=4000)
+    qc = QuantileCompress.fit(x, n_bits=8, distribution="custom")
+    assert abs(qc.mu - 5.0) < 0.05 and abs(qc.sigma - 0.25) < 0.05
+    codes = qc.encode(jnp.asarray(x))
+    decoded = np.asarray(qc.decode(codes))
+    span = x.max() - x.min()
+    assert np.abs(decoded - x).mean() < 0.01 * span
+    # custom table is dense where the data is: beats a uniform table over
+    # a range 10x wider than the data's spread
+    wide = QuantileCompress(n_bits=8, distribution="uniform", scale=10.0)
+    wide_err = np.abs(np.asarray(wide.decode(wide.encode(jnp.asarray(x - 5.0)))) - (x - 5.0))
+    assert np.abs(decoded - x).mean() < wide_err.mean()
+    # out-of-range values clamp to the table ends (reference encoding :109-113);
+    # the top entry is the top in-range normal quantile, not hi itself
+    ends = np.asarray(qc.decode(qc.encode(jnp.asarray([x.min() - 10, x.max() + 10]))))
+    assert ends[0] <= x.min() + 1e-5 * span and ends[1] >= np.quantile(x, 0.99)
+
+
+def test_quantile_compress_empirical_fit_roundtrip():
+    # bimodal data — empirical mode puts table mass on both modes
+    rng = np.random.default_rng(4)
+    x = np.concatenate([rng.normal(-3, 0.1, 2000), rng.normal(7, 0.2, 2000)])
+    qc = QuantileCompress.fit(x, n_bits=8, distribution="empirical")
+    tbl = np.asarray(qc.table())
+    assert tbl.shape == (256,) and np.all(np.diff(tbl) >= 0)
+    decoded = np.asarray(qc.decode(qc.encode(jnp.asarray(x))))
+    span = x.max() - x.min()
+    assert np.abs(decoded - x).mean() < 0.005 * span
+    # 4-bit property roundtrip still within a table-spacing of the truth
+    qc4 = QuantileCompress.fit(x, n_bits=4, distribution="empirical")
+    d4 = np.asarray(qc4.decode(qc4.encode(jnp.asarray(x))))
+    assert np.abs(d4 - x).mean() < 0.08 * span
+
+
 def test_kmeans_clusters():
     rng = np.random.default_rng(0)
     x = np.concatenate(
