@@ -2,9 +2,12 @@
 
 The reference ships predictors (fm_predict.cpp etc.) but publishes no
 serving benchmark; this records ours. Production-ish shape: B=4096,
-L=64 nonzeros/row, 1M vocab. Readback is the numpy conversion the
-scorer itself performs per batch (a real device sync on this
-transport).
+L=64 nonzeros/row, 1M vocab, in TWO traffic regimes:
+  uniform — uniques ~= positions (worst case for dedup engines)
+  zipf    — power-law CTR traffic (the regime the grouped engine's
+            dedup targets; same law as bench.py production_main)
+Readback is the numpy conversion the scorer itself performs per batch
+(a real device sync on this transport).
 
     PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/bench_scoring.py
 """
@@ -24,76 +27,119 @@ def main():
 
     enable_compilation_cache()
 
-    from lightctr_tpu.models import ffm, fm, nfm
-    from lightctr_tpu.serve.scorer import make_ffm_kernel_scorer, make_scorer
+    from lightctr_tpu.models import ffm, ffm_kernel, fm, nfm
+    from lightctr_tpu.serve.scorer import (
+        make_ffm_grouped_scorer,
+        make_ffm_kernel_scorer,
+        make_scorer,
+    )
 
     L, F, vocab = 64, 68, 1_000_000
     rng = np.random.default_rng(0)
 
-    def make_batch(B):
-        ids = rng.integers(0, vocab, (B, L)).astype(np.int32)
+    def make_ids(B, traffic):
+        if traffic == "zipf":
+            return np.minimum(rng.zipf(1.2, (B, L)) - 1,
+                              vocab - 1).astype(np.int64)
+        return rng.integers(0, vocab, (B, L)).astype(np.int64)
+
+    def np_batch(ids):
+        B = ids.shape[0]
         return {
-            "ids": jnp.asarray(ids),
-            "vals": jnp.ones((B, L), jnp.float32),
-            "fields": jnp.asarray((ids % F).astype(np.int32)),
-            "mask": jnp.ones((B, L), jnp.float32),
-            "labels": jnp.zeros((B,), jnp.float32),
-            "row_mask": jnp.ones((B,), jnp.float32),
+            "ids": ids,
+            "vals": np.ones((B, L), np.float32),
+            "fields": (ids % F).astype(np.int64),
+            "mask": np.ones((B, L), np.float32),
+            "labels": np.zeros((B,), np.float32),
+            "row_mask": np.ones((B,), np.float32),
         }
 
-    out = {}
-    # FFM scores at the product batch_size (serve/scorer.py default 512):
-    # its dense forward materialises [B, L, F, K] — 35 MB at B=512 vs
-    # 285 MB at 4096, and the big shape's remote compile is minutes-slow
+    def dev_batch(nb):
+        return {k: jnp.asarray(v) for k, v in nb.items()}
+
+    ffm_cfg = ffm.FFMConfig(n_features=vocab, n_fields=F, factor=4)
     jobs = [
-        ("fm", fm, fm.FMConfig(n_features=vocab, factor=8), 4096),
-        ("ffm", ffm, ffm.FFMConfig(n_features=vocab, n_fields=F, factor=4),
-         512),
+        # (name, builder(params) -> score, B, traffic, device_batch?)
+        ("fm", lambda p: make_scorer(fm, fm.FMConfig(n_features=vocab,
+                                                     factor=8), p),
+         4096, "uniform", True),
+        ("ffm", lambda p: make_scorer(ffm, ffm_cfg, p), 512, "uniform",
+         True),
         # r4: the r3 "55-min compile pathology" at this shape was the
         # 1.1 GB closure-captured params riding the remote-compile
         # payload (fixed in make_scorer: params are runtime args now —
-        # B=512 compiles in 1.3 s). The full B=4096 regime is back on
-        # the menu: [B, L, F, K] is 303 MB transient
-        ("ffm_b4096", ffm,
-         ffm.FFMConfig(n_features=vocab, n_fields=F, factor=4), 4096),
+        # B=512 compiles in 1.3 s); [B, L, F, K] is 303 MB transient
+        ("ffm_b4096", lambda p: make_scorer(ffm, ffm_cfg, p), 4096,
+         "uniform", True),
+        ("ffm_zipf", lambda p: make_scorer(ffm, ffm_cfg, p), 4096,
+         "zipf", True),
+        # r5: the GROUPED active-width scorer — the trainer engine
+        # forward-only (VERDICT r4 #1). Host-planned per batch, so its
+        # numbers INCLUDE host planning + [B, L] H2D transfer (the
+        # dense jobs above score device-resident batches).
+        ("ffm_grouped", lambda p: make_ffm_grouped_scorer(ffm_cfg, p),
+         4096, "uniform", False),
+        ("ffm_grouped_zipf", lambda p: make_ffm_grouped_scorer(ffm_cfg, p),
+         4096, "zipf", False),
+        ("ffm_grouped_zipf_bf16",
+         lambda p: make_ffm_grouped_scorer(ffm_cfg, p, exact=False),
+         4096, "zipf", False),
         # NOT in the default set: ffm_kernel at B=4096 is shape-infeasible
         # on this stack — its count matrix C [B*F, capacity] is ~292 GB,
         # and r4 paid TWO broken-pipe remote compiles at ~25 min each
         # finding out (killed compiles degrade the shared tunnel —
         # CLAUDE.md). Select explicitly via BENCH_SCORING_ONLY=ffm_kernel
         # if a future stack changes the math. The feasible kernel-scorer
-        # shapes below are the default evidence: B<=512 keeps C <= 4.6 GB
-        # and matches the dense FFM job's batch; B=256 matches the
-        # streaming FFM trainer's proven shape.
-        ("ffm_kernel_b512", ffm,
-         ffm.FFMConfig(n_features=vocab, n_fields=F, factor=4), 512),
-        ("ffm_kernel_b256", ffm,
-         ffm.FFMConfig(n_features=vocab, n_fields=F, factor=4), 256),
-        ("nfm", nfm, nfm.NFMConfig(n_features=vocab, factor=8,
-                                   hidden=(64,)), 4096),
+        # shapes below are the default evidence: B<=512 keeps C <= 4.6 GB.
+        ("ffm_kernel_b512",
+         lambda p: make_ffm_kernel_scorer(ffm_cfg, p, 512, L), 512,
+         "uniform", True),
+        ("ffm_kernel_b256",
+         lambda p: make_ffm_kernel_scorer(ffm_cfg, p, 256, L), 256,
+         "uniform", True),
+        ("nfm", lambda p: make_scorer(nfm, nfm.NFMConfig(
+            n_features=vocab, factor=8, hidden=(64,)), p), 4096,
+         "uniform", True),
     ]
     only = os.environ.get("BENCH_SCORING_ONLY")
     if only and "ffm_kernel" in only.split(","):
-        # opt-in only (see the note above the fallback shapes)
-        jobs.append(("ffm_kernel", ffm,
-                     ffm.FFMConfig(n_features=vocab, n_fields=F, factor=4),
-                     4096))
-    for name, mod, cfg, B in jobs:
+        jobs.append(("ffm_kernel",
+                     lambda p: make_ffm_kernel_scorer(ffm_cfg, p, 4096, L),
+                     4096, "uniform", True))
+
+    # one params set per model family (init once, reuse across jobs)
+    params_cache = {}
+
+    def params_for(name):
+        fam = ("fm" if name.startswith("fm") else
+               "nfm" if name.startswith("nfm") else "ffm")
+        if fam not in params_cache:
+            if fam == "fm":
+                cfg = fm.FMConfig(n_features=vocab, factor=8)
+                params_cache[fam] = jax.jit(
+                    lambda r: fm.init(r, cfg))(jax.random.PRNGKey(0))
+            elif fam == "nfm":
+                cfg = nfm.NFMConfig(n_features=vocab, factor=8,
+                                    hidden=(64,))
+                params_cache[fam] = jax.jit(
+                    lambda r: nfm.init(r, cfg))(jax.random.PRNGKey(0))
+            else:
+                params_cache[fam] = jax.jit(
+                    lambda r: ffm.init(r, ffm_cfg))(jax.random.PRNGKey(0))
+        return params_cache[fam]
+
+    out = {}
+    for name, builder, B, traffic, on_device in jobs:
         if only and name not in only.split(","):
             continue
-        batch = make_batch(B)
-        # jit the init (eager ops each compile separately over the
-        # tunnel — CLAUDE.md) and RETRY: remote compiles fail
-        # transiently ('Broken pipe' / 'response body closed')
+        nb = np_batch(make_ids(B, traffic))
+        batch = dev_batch(nb) if on_device else nb
+        # RETRY: remote compiles fail transiently ('Broken pipe' /
+        # 'response body closed')
         for attempt in range(3):
             try:
                 t0 = time.perf_counter()
-                params = jax.jit(lambda rng: mod.init(rng, cfg))(
-                    jax.random.PRNGKey(0))
-                if name.startswith("ffm_kernel"):
-                    score = make_ffm_kernel_scorer(cfg, params, B, L)
-                else:
-                    score = make_scorer(mod, cfg, params)
+                score = builder(params_for(name))
                 s = np.asarray(score(batch))          # compile + sync
                 assert np.isfinite(s).all()
                 print(f"{name}: compiled in "
@@ -105,12 +151,40 @@ def main():
                 dt = (time.perf_counter() - t0) / n
                 out[f"{name}_score_ms"] = round(dt * 1e3, 3)
                 out[f"{name}_examples_per_sec"] = round(B / dt, 1)
+                if hasattr(score, "compile_keys"):
+                    # VARIED-batch pass: 20 distinct batches through the
+                    # same scorer — counts octave-cap compile churn and
+                    # gives the honest e2e rate (plan + transfer + every
+                    # fresh-cap compile included)
+                    batches = [np_batch(make_ids(B, traffic))
+                               for _ in range(20)]
+                    t0 = time.perf_counter()
+                    for vb in batches:
+                        s = np.asarray(score(vb))
+                    dtv = (time.perf_counter() - t0) / len(batches)
+                    out[f"{name}_varied_examples_per_sec"] = round(B / dtv, 1)
+                    out[f"{name}_compile_keys"] = len(score.compile_keys)
+                    out[f"{name}_replans"] = score.state["replans"]
                 print(json.dumps(out), flush=True)
                 break
             except Exception as e:                     # noqa: BLE001
                 print(f"{name}: attempt {attempt} failed: {e}",
                       flush=True)
                 time.sleep(60)
+    # host-plan cost receipt for the grouped scorer's steady state:
+    # plan_into_layout per batch against a frozen calibrated layout
+    # (PARITY.md serving table)
+    ids = make_ids(4096, "zipf")
+    ones = np.ones((4096, L), np.float32)
+    flds = (ids % F).astype(np.int64)
+    layout = ffm_kernel.layout_from_batch(ids, ones, flds, F)
+    fresh = [make_ids(4096, "zipf") for _ in range(5)]
+    t0 = time.perf_counter()
+    for fi in fresh:
+        ffm_kernel.plan_into_layout(layout, fi, ones,
+                                    (fi % F).astype(np.int64))
+    out["ffm_grouped_zipf_plan_ms"] = round(
+        (time.perf_counter() - t0) / 5 * 1e3, 2)
     print("FINAL " + json.dumps(out))
 
 

@@ -594,13 +594,31 @@ class GroupedFFMPlan:
     n_valid_rows: float
 
 
-def _group_partition(csort: np.ndarray, max_groups: int, pad: int):
+def _octave_up(x: int, base: int) -> int:
+    """Round x up to base * 2^k."""
+    v = base
+    while v < x:
+        v *= 2
+    return v
+
+
+def _group_partition(csort: np.ndarray, max_groups: int, pad: int,
+                     octave: bool = False):
     """DP: partition the DESC-sorted active counts into <= max_groups
     contiguous segments minimising total rows sum(len_g * r_g), where
     r_g = round_up(first element, pad) (the segment max). Returns
-    (boundaries, r_g): boundaries[k]..boundaries[k+1] is segment k."""
+    (boundaries, r_g): boundaries[k]..boundaries[k+1] is segment k.
+
+    octave=True rounds each count to pad * 2^k BEFORE the DP, so group
+    boundaries land where the count OCTAVE changes — under traffic
+    jitter the octaves (and hence the whole layout) stay put, which is
+    what keeps the forward-only scorer's compile key stable across
+    batches (serve/scorer.make_ffm_grouped_scorer)."""
     A = len(csort)
-    r_of = [_round_up(max(int(c), 1), pad) for c in csort]
+    if octave:
+        r_of = [_octave_up(max(int(c), 1), pad) for c in csort]
+    else:
+        r_of = [_round_up(max(int(c), 1), pad) for c in csort]
     INF = float("inf")
     # dp[g][i]: min rows covering first i fields with g segments
     dp = [[INF] * (A + 1) for _ in range(max_groups + 1)]
@@ -624,21 +642,12 @@ def _group_partition(csort: np.ndarray, max_groups: int, pad: int):
     return bounds, [r_of[j] for j in bounds[:-1]]
 
 
-def plan_batch_grouped(ids, vals, mask, fields, labels, row_mask=None,
-                       slot_pad: int = 128, max_groups: int = 4,
-                       n_fields=None):
-    """-> GroupedFFMPlan, or None when ids don't partition into fields.
-    slot_pad=128: XLA pads the count matrices' minor (slot) dim to the
-    128-lane tile anyway, so capacities below 128 buy nothing."""
-    B, L = ids.shape
-    if row_mask is None:
-        row_mask = np.ones((B,), np.float32)
-    flat = ids.reshape(-1).astype(np.int64)
-    flat_f = fields.reshape(-1).astype(np.int64)
-    valid = mask.reshape(-1) > 0
-    F = n_fields if n_fields is not None else (
-        int(flat_f[valid].max()) + 1 if valid.any() else 1
-    )
+def _field_id_dedup(flat, flat_f, valid, F: int):
+    """Dedup the batch's (field, id) pairs. None if an id appears under
+    two fields (ids must partition into fields for blocked layouts),
+    else (uniq_key, u_ids, u_fields, cnts [F], slot_of [U], slots [n])
+    where slot_of[u] is unique u's slot within its field's sorted run
+    and slots is the per-position slot (0 for invalid positions)."""
     key = flat[valid] * F + flat_f[valid]
     uniq_key = np.unique(key)
     if len(uniq_key) == 0:
@@ -648,13 +657,46 @@ def plan_batch_grouped(ids, vals, mask, fields, labels, row_mask=None,
     if len(np.unique(u_ids)) != len(u_ids):
         return None                     # an id appears under two fields
     cnts = np.bincount(u_fields, minlength=F).astype(np.int64)
+    forder = np.argsort(u_fields, kind="stable")
+    starts = np.zeros((F,), np.int64)
+    starts[1:] = np.cumsum(cnts)[:-1]
+    slot_of = np.empty((len(u_ids),), np.int64)
+    slot_of[forder] = np.arange(len(u_ids)) - np.repeat(starts, cnts)
+    pos_key = flat * F + flat_f
+    k_idx = np.searchsorted(uniq_key, pos_key)
+    k_idx = np.clip(k_idx, 0, len(uniq_key) - 1)
+    slots = np.where(valid, slot_of[k_idx], 0).astype(np.int32)
+    return uniq_key, u_ids, u_fields, cnts, slot_of, slots
+
+
+def plan_batch_grouped(ids, vals, mask, fields, labels, row_mask=None,
+                       slot_pad: int = 128, max_groups: int = 4,
+                       n_fields=None, octave: bool = False):
+    """-> GroupedFFMPlan, or None when ids don't partition into fields.
+    slot_pad=128: XLA pads the count matrices' minor (slot) dim to the
+    128-lane tile anyway, so capacities below 128 buy nothing.
+    octave=True: capacities and group boundaries quantise to slot_pad*2^k
+    (compile-key stability for the serving path — see _group_partition)."""
+    B, L = ids.shape
+    if row_mask is None:
+        row_mask = np.ones((B,), np.float32)
+    flat = ids.reshape(-1).astype(np.int64)
+    flat_f = fields.reshape(-1).astype(np.int64)
+    valid = mask.reshape(-1) > 0
+    F = n_fields if n_fields is not None else (
+        int(flat_f[valid].max()) + 1 if valid.any() else 1
+    )
+    dd = _field_id_dedup(flat, flat_f, valid, F)
+    if dd is None:
+        return None
+    uniq_key, u_ids, u_fields, cnts, slot_of, slots = dd
     # permute fields by descending unique count (stable: ties keep order)
     order = np.argsort(-cnts, kind="stable")     # order[new] = old
     perm = np.empty((F,), np.int64)
     perm[order] = np.arange(F)                   # perm[old] = new
     n_active = int((cnts > 0).sum())
     csort = cnts[order][:n_active]
-    bounds, r_gs = _group_partition(csort, max_groups, slot_pad)
+    bounds, r_gs = _group_partition(csort, max_groups, slot_pad, octave)
     f_start = tuple(int(b) for b in bounds[:-1])
     f_end = tuple(int(b) for b in bounds[1:])
     r_g = tuple(int(r) for r in r_gs)
@@ -662,22 +704,12 @@ def plan_batch_grouped(ids, vals, mask, fields, labels, row_mask=None,
     for s, e, r in zip(f_start, f_end, r_g):
         row_offset.append(off)
         off += (e - s) * r
-    # in-field slot of each unique (field, id), like plan_batch_blocked
-    forder = np.argsort(u_fields, kind="stable")
-    starts = np.zeros((F,), np.int64)
-    starts[1:] = np.cumsum(cnts)[:-1]
-    slot_of = np.empty((len(u_ids),), np.int64)
-    slot_of[forder] = np.arange(len(u_ids)) - np.repeat(starts, cnts)
     uids_grp = []
     for s, e, r in zip(f_start, f_end, r_g):
         u = np.zeros((e - s, r), np.int64)
         sel = (perm[u_fields] >= s) & (perm[u_fields] < e)
         u[perm[u_fields[sel]] - s, slot_of[sel]] = u_ids[sel]
         uids_grp.append(u)
-    pos_key = flat * F + flat_f
-    k_idx = np.searchsorted(uniq_key, pos_key)
-    k_idx = np.clip(k_idx, 0, len(uniq_key) - 1)
-    slots = np.where(valid, slot_of[k_idx], 0).astype(np.int32)
     return GroupedFFMPlan(
         # clip before the perm map: masked-out positions carry arbitrary
         # field values (weight 0 — the value never matters downstream)
@@ -702,16 +734,111 @@ def plan_batch_grouped(ids, vals, mask, fields, labels, row_mask=None,
     )
 
 
-def count_matrices_grouped(plan: GroupedFFMPlan, weights, dtype):
-    """Per-group [B, F_g, r_g] count matrices: one scalar scatter-add per
-    group, out-of-group positions carry weight 0 (and clipped indices)."""
-    B, L = plan.xv.shape
+class GroupedLayout(NamedTuple):
+    """A FROZEN grouped table layout for serving: field permutation +
+    group spans + per-group slot capacities, calibrated once from an
+    observed batch (layout_from_batch) and reused across batches
+    (plan_into_layout) until traffic overflows it. This is the
+    plan-ahead/re-plan-on-overflow contract the range-partitioned FM
+    master uses (fm_kernel.partition_caps_for), applied to the grouped
+    FFM serving path: steady traffic costs ONE compiled program, and a
+    capacity breach is a loud re-calibration signal, never silent
+    corruption."""
+
+    perm: np.ndarray       # [F] old field -> new (permuted) index
+    inv_perm: np.ndarray   # [F] new -> old
+    f_start: tuple         # per group: first new-field index
+    f_end: tuple           # per group: one-past-last new-field index
+    r_g: tuple             # per group: slot capacity
+    row_offset: tuple      # per group: offset into the flat table
+    n_rows_total: int
+    n_active: int
+    n_fields: int
+    caps_field: np.ndarray  # [F] slot capacity of each OLD field (0 = inactive)
+
+
+def layout_from_batch(ids, mask, fields, n_fields: int,
+                      slot_pad: int = 128, max_groups: int = 4,
+                      slack: float = 1.2):
+    """Calibrate a GroupedLayout from one observed batch: per-field
+    unique counts * slack (headroom for traffic jitter, so steady
+    traffic does not re-calibrate), DP-grouped like plan_batch_grouped.
+    None when ids don't partition into fields."""
+    F = n_fields
+    flat = ids.reshape(-1).astype(np.int64)
+    flat_f = fields.reshape(-1).astype(np.int64)
+    valid = mask.reshape(-1) > 0
+    dd = _field_id_dedup(flat, flat_f, valid, F)
+    if dd is None:
+        return None
+    _, _, _, cnts, _, _ = dd
+    slacked = np.ceil(cnts * slack).astype(np.int64)
+    order = np.argsort(-cnts, kind="stable")
+    perm = np.empty((F,), np.int64)
+    perm[order] = np.arange(F)
+    n_active = int((cnts > 0).sum())
+    csort = slacked[order][:n_active]
+    bounds, r_gs = _group_partition(csort, max_groups, slot_pad)
+    f_start = tuple(int(b) for b in bounds[:-1])
+    f_end = tuple(int(b) for b in bounds[1:])
+    r_g = tuple(int(r) for r in r_gs)
+    row_offset, off = [], 0
+    for s, e, r in zip(f_start, f_end, r_g):
+        row_offset.append(off)
+        off += (e - s) * r
+    caps_field = np.zeros((F,), np.int64)
+    for s, e, r in zip(f_start, f_end, r_g):
+        caps_field[order[s:e]] = r
+    return GroupedLayout(
+        perm=perm, inv_perm=order, f_start=f_start, f_end=f_end,
+        r_g=r_g, row_offset=tuple(row_offset), n_rows_total=off,
+        n_active=n_active, n_fields=F, caps_field=caps_field)
+
+
+def plan_into_layout(layout: GroupedLayout, ids, mask, fields):
+    """Plan a batch INTO a frozen GroupedLayout. Returns
+    (new_field [B, L] int32, slots [B, L] int32, uids_flat
+    [n_rows_total] int64, ok) — ok False when the batch does not fit
+    the layout (a field's unique count exceeds its slot capacity, a
+    previously-inactive field appears, or ids stop partitioning into
+    fields); the caller then re-calibrates via layout_from_batch.
+    Pad slots carry uid 0 — harmless downstream: their count-matrix
+    and Crow2 columns are identically zero (see init_grouped)."""
+    B, L = ids.shape
+    F = layout.n_fields
+    flat = ids.reshape(-1).astype(np.int64)
+    flat_f = fields.reshape(-1).astype(np.int64)
+    valid = mask.reshape(-1) > 0
+    dd = _field_id_dedup(flat, flat_f, valid, F)
+    if dd is None:
+        return None, None, None, False
+    _, u_ids, u_fields, cnts, slot_of, slots = dd
+    if np.any(cnts > layout.caps_field):
+        return None, None, None, False
+    uids_flat = np.zeros((layout.n_rows_total,), np.int64)
+    nf_of_u = layout.perm[u_fields]
+    for s, e, r, off in zip(layout.f_start, layout.f_end, layout.r_g,
+                            layout.row_offset):
+        sel = (nf_of_u >= s) & (nf_of_u < e)
+        uids_flat[off + (nf_of_u[sel] - s) * r + slot_of[sel]] = u_ids[sel]
+    new_field = layout.perm[np.clip(flat_f, 0, F - 1)].astype(np.int32)
+    return (new_field.reshape(B, L), slots.reshape(B, L).astype(np.int32),
+            uids_flat, True)
+
+
+def count_matrices_grouped_arrays(new_field, slots, weights,
+                                  f_start, f_end, r_g, dtype):
+    """Per-group [B, F_g, r_g] count matrices from raw [B, L] arrays: one
+    scalar scatter-add per group, out-of-group positions carry weight 0
+    (and clipped indices). The plan-free form the forward-only scorer
+    shares with the trainer (serve/scorer.make_ffm_grouped_scorer)."""
+    B, L = weights.shape
     b = jnp.repeat(jnp.arange(B, dtype=jnp.int32), L)
-    nf = plan.new_field.reshape(-1)
-    sl = plan.slots.reshape(-1)
+    nf = new_field.reshape(-1)
+    sl = slots.reshape(-1)
     w = weights.reshape(-1).astype(dtype)
     out = []
-    for s, e, r in zip(plan.f_start, plan.f_end, plan.r_g):
+    for s, e, r in zip(f_start, f_end, r_g):
         in_g = (nf >= s) & (nf < e) & (sl < r)
         f_loc = jnp.clip(nf - s, 0, e - s - 1)
         s_loc = jnp.clip(sl, 0, r - 1)
@@ -719,6 +846,13 @@ def count_matrices_grouped(plan: GroupedFFMPlan, weights, dtype):
         out.append(C.at[b, f_loc, s_loc].add(
             jnp.where(in_g, w, jnp.zeros((), dtype))))
     return tuple(out)
+
+
+def count_matrices_grouped(plan: GroupedFFMPlan, weights, dtype):
+    """Per-group [B, F_g, r_g] count matrices for a GroupedFFMPlan."""
+    return count_matrices_grouped_arrays(
+        plan.new_field, plan.slots, weights,
+        plan.f_start, plan.f_end, plan.r_g, dtype)
 
 
 def grouped_row_width(cfg: KernelFFMConfig, plan: GroupedFFMPlan) -> int:
@@ -749,21 +883,19 @@ def init_grouped(rng: jax.Array, cfg: KernelFFMConfig,
     )
 
 
-def _logits_from_counts_grouped(table, w0, Cs, Crow2s, cfg: KernelFFMConfig,
-                                plan: GroupedFFMPlan):
-    """Grouped block-diagonal forward: one 'bfr,frd->bfd' einsum per
-    group, field blocks concatenated into the [B, A, Dwa] aggregate S
-    the pairwise/self terms consume (A = n_active; empty fields carry
-    no rows, no columns, and no pairwise work — their aggregates are
-    identically zero). All field indices here are PERMUTED
-    (descending-count) — the table is learned in permuted space and
-    export_params_grouped de-permutes."""
-    A, Kf = plan.n_active, cfg.factor
-    Dwa = grouped_row_width(cfg, plan)
-    cdt = jnp.float32 if cfg.exact else jnp.bfloat16
+def _logits_from_counts_grouped_core(table, w0, Cs, Crow2s, A: int,
+                                     Kf: int, cdt, f_start, f_end, r_g,
+                                     row_offset):
+    """Grouped block-diagonal forward on raw layout tuples: one
+    'bfr,frd->bfd' einsum per group, field blocks concatenated into the
+    [B, A, Dwa] aggregate S the pairwise/self terms consume (A =
+    n_active; empty fields carry no rows, no columns, and no pairwise
+    work — their aggregates are identically zero). All field indices
+    here are PERMUTED (descending-count)."""
+    Dwa = 1 + A * Kf
     S_parts, self_t = [], 0.0
-    for gi, (s, e, r, off) in enumerate(zip(plan.f_start, plan.f_end,
-                                            plan.r_g, plan.row_offset)):
+    for gi, (s, e, r, off) in enumerate(zip(f_start, f_end,
+                                            r_g, row_offset)):
         Fg = e - s
         Tg = table[off : off + Fg * r].reshape(Fg, r, Dwa)
         S_parts.append(jnp.einsum("bfr,frd->bfd", Cs[gi], Tg.astype(cdt),
@@ -786,6 +918,16 @@ def _logits_from_counts_grouped(table, w0, Cs, Crow2s, cfg: KernelFFMConfig,
     total = jnp.einsum("bfgk,bgfk->b", P, P,
                        preferred_element_type=jnp.float32)
     return w0 + wx + 0.5 * (total - self_t)
+
+
+def _logits_from_counts_grouped(table, w0, Cs, Crow2s, cfg: KernelFFMConfig,
+                                plan: GroupedFFMPlan):
+    """Grouped forward on a GroupedFFMPlan (the table is learned in
+    permuted space; export_params_grouped de-permutes)."""
+    cdt = jnp.float32 if cfg.exact else jnp.bfloat16
+    return _logits_from_counts_grouped_core(
+        table, w0, Cs, Crow2s, plan.n_active, cfg.factor, cdt,
+        plan.f_start, plan.f_end, plan.r_g, plan.row_offset)
 
 
 def make_train_step_grouped(cfg: KernelFFMConfig, plan: GroupedFFMPlan):

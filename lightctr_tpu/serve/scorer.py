@@ -103,6 +103,132 @@ def make_ffm_kernel_scorer(cfg, params, batch_size: int,
     return score
 
 
+def make_ffm_grouped_scorer(cfg, params, max_groups: int = 4,
+                            slot_pad: int = 128, exact: bool = True,
+                            slack: float = 1.2) -> Callable:
+    """Forward-only FFM scorer through the GROUPED active-width engine
+    (the 0.5 ms trainer path of models/ffm_kernel.make_train_step_grouped
+    minus backward/optimizer): per batch, a host plan dedups ids into the
+    size-grouped field-blocked layout, ONE row gather pulls the touched
+    vocab rows into active-width rank space, and the per-group
+    block-diagonal einsums produce the logits. Identical probabilities to
+    the dense scorer (tests/test_two_stage_serve.py
+    ::test_ffm_grouped_scorer_matches_dense).
+
+    Where it wins: traffic whose unique-id count is well below the
+    position count (zipf/production skew, bundled-style data) — the MXU
+    reads each unique row once instead of per occurrence, and the pull
+    gather shrinks by the dedup factor. At uniform-random B=4096/V=1M
+    (uniques ~= positions) the dedup factor is ~1.1x and the dense
+    forward's position gather is the same data volume — measured
+    head-to-head in benchmarks/bench_scoring.py (PARITY.md serving
+    table). Reference predictor being matched:
+    /root/reference/LightCTR/predict/fm_predict.cpp:18-53.
+
+    Compile discipline: the grouped layout (field permutation, group
+    spans, slot capacities) is CALIBRATED from the first batch with
+    `slack` headroom and FROZEN (ffm_kernel.layout_from_batch); each
+    batch is planned into it with plain dedup (plan_into_layout), so
+    steady traffic runs ONE compiled program. A capacity breach
+    re-calibrates loudly — `score.state["replans"]` counts
+    re-calibrations and `score.compile_keys` the distinct compiled
+    programs, so callers can audit churn (each fresh program is a
+    3-7 min remote compile on the tunneled stack). The packed
+    [V, Dw] vocab table is built once and rides the jit boundary as a
+    runtime argument (closure constants are remote-compile payload —
+    CLAUDE.md / NEXT_STEPS r4).
+
+    exact=False streams the einsums in bf16 with f32 accumulation
+    (serving-grade: probabilities match to ~1e-2; train-grade numerics
+    stay fp32).
+    """
+    import functools
+
+    import jax.numpy as jnp
+
+    from ..models import ffm_kernel
+
+    F, Kf, V = cfg.n_fields, cfg.factor, cfg.n_features
+    Dw = 1 + F * Kf
+    cdt = jnp.float32 if exact else jnp.bfloat16
+
+    table = jnp.zeros((V, Dw))
+    table = table.at[:, 0].set(jnp.asarray(params["w"]))
+    table = table.at[:, 1:].set(jnp.asarray(params["v"]).reshape(V, F * Kf))
+    table = jax.device_put(table)
+    w0 = jnp.asarray(params["w0"])
+
+    compiled: dict = {}
+
+    def build(key):
+        n_active, f_start, f_end, r_g, row_offset = key
+        Dwa = 1 + n_active * Kf
+
+        @jax.jit
+        def score_with(table, w0, col_ids, uids_flat, new_field, slots, xv):
+            # one pull for every group: [n_rows_total, Dw] -> active-width
+            # columns in PERMUTED field order (col_ids maps new->old).
+            # Pad slots pull row 0 — harmless: their count-matrix and
+            # Crow2 columns are identically zero (same argument as the
+            # trainer's inert pad-slot noise, init_grouped).
+            rows = table[uids_flat][:, col_ids]          # [n_rows, Dwa]
+            Cs = ffm_kernel.count_matrices_grouped_arrays(
+                new_field, slots, xv, f_start, f_end, r_g, cdt)
+            Crow2s = ffm_kernel.count_matrices_grouped_arrays(
+                new_field, slots, xv * xv, f_start, f_end, r_g, cdt)
+            z = ffm_kernel._logits_from_counts_grouped_core(
+                rows, w0, Cs, Crow2s, n_active, Kf, cdt,
+                f_start, f_end, r_g, row_offset)
+            return sigmoid(z)
+
+        return score_with
+
+    state = {"layout": None, "col_ids": None, "replans": 0}
+
+    def score(batch):
+        ids = np.asarray(batch["ids"])
+        vals = np.asarray(batch["vals"])
+        mask = np.asarray(batch["mask"])
+        fields = np.asarray(batch["fields"])
+        for _ in range(2):
+            if state["layout"] is None:
+                layout = ffm_kernel.layout_from_batch(
+                    ids, mask, fields, F, slot_pad=slot_pad,
+                    max_groups=max_groups, slack=slack)
+                assert layout is not None, (
+                    "batch ids do not partition into fields — use the "
+                    "dense scorer (make_scorer) for multi-field features")
+                state["layout"] = layout
+                state["replans"] += 1
+                # active-width column map in permuted field order
+                active_old = layout.inv_perm[: layout.n_active]
+                state["col_ids"] = np.concatenate(
+                    [[0]] + [1 + of * Kf + np.arange(Kf)
+                             for of in active_old]).astype(np.int32)
+            layout = state["layout"]
+            new_field, slots, uids_flat, ok = ffm_kernel.plan_into_layout(
+                layout, ids, mask, fields)
+            if ok:
+                break
+            state["layout"] = None       # overflow: re-calibrate loudly
+        else:
+            raise AssertionError(
+                "batch does not fit a layout calibrated from itself")
+        key = (layout.n_active, layout.f_start, layout.f_end,
+               layout.r_g, layout.row_offset)
+        if key not in compiled:
+            compiled[key] = build(key)
+        xv = (vals * mask).astype(np.float32)
+        return compiled[key](
+            table, w0, jnp.asarray(state["col_ids"]),
+            jnp.asarray(uids_flat), jnp.asarray(new_field),
+            jnp.asarray(slots), jnp.asarray(xv))
+
+    score.compile_keys = compiled
+    score.state = state
+    return score
+
+
 def batch_score(
     model,
     cfg,
@@ -118,6 +244,8 @@ def batch_score(
     if engine == "kernel":
         score = make_ffm_kernel_scorer(cfg, params, batch_size,
                                        ds.ids.shape[1])
+    elif engine == "grouped":
+        score = make_ffm_grouped_scorer(cfg, params)
     else:
         score = make_scorer(model, cfg, params)
     acc = MetricAccumulator()

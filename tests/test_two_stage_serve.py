@@ -158,3 +158,76 @@ def test_ffm_kernel_scorer_matches_dense():
                            engine="kernel")
     assert abs(m_dense["auc"] - m_kernel["auc"]) < 1e-6
     assert abs(m_dense["logloss"] - m_kernel["logloss"]) < 1e-5
+
+
+def test_ffm_grouped_scorer_matches_dense():
+    """The grouped active-width FFM scorer (the serving twin of the
+    grouped trainer) returns the SAME probabilities as the dense scorer
+    on an init-transplanted model — including masked positions, skewed
+    field sizes, and non-unit values."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from lightctr_tpu.models import ffm
+    from lightctr_tpu.serve.scorer import make_ffm_grouped_scorer, make_scorer
+
+    rng = np.random.default_rng(7)
+    V, F, Kf, B, L = 5000, 6, 4, 64, 10
+    # skewed fields: ids partition by id % F but traffic favours field 0
+    raw = np.where(rng.random((B, L)) < 0.6,
+                   rng.integers(0, V // F, (B, L)) * F,
+                   rng.integers(0, V, (B, L)))
+    ids = raw.astype(np.int64)
+    mask = (rng.random((B, L)) < 0.9).astype(np.float32)
+    batch = {
+        "ids": ids,
+        "vals": rng.normal(size=(B, L)).astype(np.float32),
+        "fields": (ids % F).astype(np.int64),
+        "mask": mask,
+        "labels": np.zeros((B,), np.float32),
+        "row_mask": np.ones((B,), np.float32),
+    }
+    cfg = ffm.FFMConfig(n_features=V, n_fields=F, factor=Kf)
+    params = ffm.init(jax.random.PRNGKey(3), cfg)
+    params["w"] = jnp.asarray(rng.normal(size=(V,)).astype(np.float32) * 0.1)
+    params["w0"] = jnp.asarray(0.2)
+
+    dense = make_scorer(ffm, cfg, params)
+    grouped = make_ffm_grouped_scorer(cfg, params, max_groups=3)
+    p_dense = np.asarray(dense({k: jnp.asarray(v) for k, v in batch.items()}))
+    p_grp = np.asarray(grouped(batch))
+    np.testing.assert_allclose(p_grp, p_dense, rtol=2e-5, atol=2e-6)
+
+    # frozen layout: a second batch with similar traffic reuses the ONE
+    # compiled program (no re-calibration, no fresh compile)
+    ids2 = np.where(rng.random((B, L)) < 0.6,
+                    rng.integers(0, V // F, (B, L)) * F,
+                    rng.integers(0, V, (B, L))).astype(np.int64)
+    batch2 = dict(batch, ids=ids2, fields=(ids2 % F).astype(np.int64))
+    p2_dense = np.asarray(dense({k: jnp.asarray(v)
+                                 for k, v in batch2.items()}))
+    p2 = np.asarray(grouped(batch2))
+    np.testing.assert_allclose(p2, p2_dense, rtol=2e-5, atol=2e-6)
+    assert grouped.state["replans"] == 1
+    assert len(grouped.compile_keys) == 1
+
+    # overflow: much heavier traffic breaches the calibrated capacities
+    # -> loud re-calibration, results still exact
+    B3 = 4 * B
+    ids3 = rng.integers(0, V, (B3, L)).astype(np.int64)
+    batch3 = {
+        "ids": ids3,
+        "vals": np.ones((B3, L), np.float32),
+        "fields": (ids3 % F).astype(np.int64),
+        "mask": np.ones((B3, L), np.float32),
+        "labels": np.zeros((B3,), np.float32),
+        "row_mask": np.ones((B3,), np.float32),
+    }
+    p3_dense = np.asarray(dense({k: jnp.asarray(v)
+                                 for k, v in batch3.items()}))
+    p3 = np.asarray(grouped(batch3))
+    np.testing.assert_allclose(p3, p3_dense, rtol=2e-5, atol=2e-6)
+    assert grouped.state["replans"] == 2
+    # (exact=False bf16 mode is TPU-only — the CPU test backend lacks
+    # bf16 x bf16 = f32 dots; measured on-chip in bench_scoring.py)
