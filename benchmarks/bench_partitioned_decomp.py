@@ -116,6 +116,38 @@ def main():
         out["partitioned_full_ms"] - out["core_only_ms"], 3)
     print(json.dumps(out), flush=True)
 
+    # ---- EQUAL-traffic partitioning on uniform traffic (r5, VERDICT r4
+    # weak #1/#3): the zipf-head bounds lose on uniform (89% of uniques
+    # land in one big cold partition — 60.2 vs 48.7 ms r4), but the
+    # measured lever says per-index scatter cost scales with the TARGET
+    # table size (34 ns @65k vs 160 ns @10M, bench_cache_probe.py). N
+    # EQUAL partitions give EVERY index a 10M/N-row target. Sweep N.
+    if os.environ.get("DECOMP_TRAFFIC") == "uniform":
+        for n_parts in (8, 16, 32):
+            bounds_n = tuple(vocab * (i + 1) // n_parts
+                             for i in range(n_parts))
+            caps_n = fm_kernel.partition_caps_for(
+                plan.uids, plan.n_unique, bounds_n)
+            st_n = fm_kernel.partition_streaming_state(
+                fm_kernel.streaming_init_packed(jax.random.PRNGKey(0),
+                                                cfg), bounds_n)
+            step_n = fm_kernel.make_streaming_train_step_partitioned(
+                cfg, capacity, b_pad, bounds_n, caps_n)
+            try:
+                (st_n, loss), ovf = step_n(st_n, arrays)
+                assert not bool(ovf)
+                float(loss)
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    (st_n, loss), ovf = step_n(st_n, arrays)
+                float(loss)
+                out[f"equal_part_{n_parts}_ms"] = round(
+                    (time.perf_counter() - t0) / n * 1e3, 3)
+            except Exception as e:                     # noqa: BLE001
+                out[f"equal_part_{n_parts}_error"] = str(e)[:120]
+            del st_n
+            print(json.dumps(out), flush=True)
+
     # ---- core variants: the first decomposition run showed the step is
     # CORE-bound (core 8.1 of the 9.2 ms — the exchange overlaps almost
     # fully), so the kernel choice inside _packed_rank_core is now the

@@ -971,6 +971,15 @@ def _packed_rank_core(cfg: KernelFMConfig, pulled, b, b_pad: int, R: int,
         # call over the SHARED rank space. Rows partition cleanly
         # between halves, so stats are independent and grad_rows add;
         # total grid slots match one full-batch fused call.
+        # r5 CAVEAT (PARITY.md split-fused rejection): at the production
+        # zipf shape THIS branch still crashes the compiler when `rows`
+        # is the [:, :16] slice of the packed pulled buffer and the
+        # Adagrad tail consumes the other half (isolated in
+        # benchmarks/bench_splitfused_isolate.py — the kernels alone
+        # compile and run), and the compilable compositions measured
+        # SLOWER than the fine core (both halves 5.47 ms vs fine core
+        # 6.18 incl. optimizer). Production stays on cfg.fine; this
+        # branch serves b_pad<=2048 regimes.
         rmask_p = b["row_mask_padded"]
         n_valid = jnp.maximum(jnp.sum(rmask_p), 1.0)
         loss = jnp.float32(0.0)
@@ -1140,6 +1149,76 @@ def partition_caps_for(uids, n_unique: int, bounds: tuple,
     return tuple(caps)
 
 
+def make_partitioned_pull_push(n_features: int, capacity: int,
+                               bounds: tuple, caps: tuple):
+    """The range-partitioned master's exchange halves, factored so every
+    streaming family (FM here; NFM in models/nfm_kernel) shares the
+    SAME pull/push code against a parts tuple (see
+    StreamingFMStatePartitioned for the layout and why it wins).
+
+    pull(parts, b)  -> (pulled [R, 2D], starts, idx_ext, overflow)
+    push(parts, packed_new, starts, idx_ext) -> new parts tuple
+    """
+    R = capacity
+    V = n_features
+    sizes = [bounds[0]] + [bounds[i] - bounds[i - 1]
+                           for i in range(1, len(bounds))]
+    bases = [0] + list(bounds[:-1])
+    cap_max = max(caps)
+    n_parts = len(bounds)
+    th = jnp.asarray(np.asarray(bases, np.int32))
+
+    def pull(parts, b):
+        n_unique = b["n_unique"]
+        D2 = parts[0].shape[1]
+        pos = jnp.arange(R, dtype=jnp.int32)
+        # ascending ids with V at padding (uids pads with 0s), then
+        # extend by cap_max so dynamic_slice at offset starts[p] can
+        # never clamp (XLA clamps OOB starts -> silent misalignment)
+        idx = jnp.where(pos < n_unique, b["uids"].astype(jnp.int32),
+                        jnp.int32(V))
+        idx_ext = jnp.concatenate(
+            [idx, jnp.full((cap_max,), V, jnp.int32)])
+        # partition p covers ranks [starts[p], starts[p+1])
+        starts = jnp.sum(idx[None, :] < th[:, None], axis=1).astype(jnp.int32)
+        counts = jnp.concatenate(
+            [starts[1:], n_unique[None].astype(jnp.int32)]) - starts
+        overflow = jnp.any(counts > jnp.asarray(caps, jnp.int32))
+
+        # ---- per-partition contiguous gathers into rank space
+        buf = jnp.zeros((R + cap_max, D2))
+        for p in range(n_parts):
+            sp = starts[p]
+            idx_p = jax.lax.dynamic_slice(idx_ext, (sp,), (caps[p],)) \
+                - bases[p]
+            got = parts[p][jnp.clip(idx_p, 0, sizes[p] - 1)]
+            # overshoot rows (next partitions / padding) are overwritten
+            # by later p; rows past n_unique stay zero via the mask below
+            buf = jax.lax.dynamic_update_slice(buf, got, (sp, 0))
+        pulled = buf[:R] * (pos < n_unique).astype(buf.dtype)[:, None]
+        return pulled, starts, idx_ext, overflow
+
+    def push(parts, packed_new, starts, idx_ext):
+        D2 = packed_new.shape[1]
+        packed_ext = jnp.concatenate(
+            [packed_new, jnp.zeros((cap_max, D2))])
+        new_parts = []
+        for p in range(n_parts):
+            sp = starts[p]
+            idx_p = jax.lax.dynamic_slice(idx_ext, (sp,), (caps[p],)) \
+                - bases[p]
+            rows_p = jax.lax.dynamic_slice(packed_ext, (sp, 0),
+                                           (caps[p], D2))
+            # out-of-partition (negative would only occur on overflow;
+            # >= size_p covers overshoot + padding) -> drop
+            idx_p = jnp.where(idx_p < 0, sizes[p], idx_p)
+            new_parts.append(
+                parts[p].at[idx_p].set(rows_p, mode="drop"))
+        return tuple(new_parts)
+
+    return pull, push
+
+
 def make_streaming_train_step_partitioned(cfg: KernelFMConfig,
                                           capacity: int, b_pad: int,
                                           bounds: tuple, caps: tuple):
@@ -1168,68 +1247,18 @@ def make_streaming_train_step_partitioned(cfg: KernelFMConfig,
     assert len(bounds) == len(caps) and bounds[-1] == cfg.n_features
     if cfg.fine:
         assert R % (5 * WTILE) == 0
-    D2 = 2 * K.D
-    V = cfg.n_features
-    sizes = [bounds[0]] + [bounds[i] - bounds[i - 1]
-                           for i in range(1, len(bounds))]
-    bases = [0] + list(bounds[:-1])
-    cap_max = max(caps)
-    n_parts = len(bounds)
-    th = jnp.asarray(np.asarray(bases, np.int32))
+    pull, push = make_partitioned_pull_push(cfg.n_features, R, bounds, caps)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: StreamingFMStatePartitioned, b: dict, hyper=None):
         lr = cfg.learning_rate if hyper is None else hyper[0]
         l2 = cfg.l2 if hyper is None else hyper[1]
-        n_unique = b["n_unique"]
-        pos = jnp.arange(R, dtype=jnp.int32)
-        # ascending ids with V at padding (uids pads with 0s), then
-        # extend by cap_max so dynamic_slice at offset starts[p] can
-        # never clamp (XLA clamps OOB starts -> silent misalignment)
-        idx = jnp.where(pos < n_unique, b["uids"].astype(jnp.int32),
-                        jnp.int32(V))
-        idx_ext = jnp.concatenate(
-            [idx, jnp.full((cap_max,), V, jnp.int32)])
-        # partition p covers ranks [starts[p], starts[p+1])
-        starts = jnp.sum(idx[None, :] < th[:, None], axis=1).astype(jnp.int32)
-        counts = jnp.concatenate(
-            [starts[1:], n_unique[None].astype(jnp.int32)]) - starts
-        overflow = jnp.any(counts > jnp.asarray(caps, jnp.int32))
-
-        # ---- pull: per-partition contiguous gathers into rank space
-        buf = jnp.zeros((R + cap_max, D2))
-        for p in range(n_parts):
-            sp = starts[p]
-            idx_p = jax.lax.dynamic_slice(idx_ext, (sp,), (caps[p],)) \
-                - bases[p]
-            got = state.parts[p][jnp.clip(idx_p, 0, sizes[p] - 1)]
-            # overshoot rows (next partitions / padding) are overwritten
-            # by later p; rows past n_unique stay zero via the mask below
-            buf = jax.lax.dynamic_update_slice(buf, got, (sp, 0))
-        pulled = buf[:R] * (pos < n_unique).astype(buf.dtype)[:, None]
-
+        pulled, starts, idx_ext, overflow = pull(state.parts, b)
         packed_new, w0, w0_accum, loss = _packed_rank_core(
             cfg, pulled, b, b_pad, R, state.w0, state.w0_accum, lr, l2)
-        packed_ext = jnp.concatenate(
-            [packed_new, jnp.zeros((cap_max, D2))])
-
-        # ---- push: per-partition contiguous scatters
-        new_parts = []
-        for p in range(n_parts):
-            sp = starts[p]
-            idx_p = jax.lax.dynamic_slice(idx_ext, (sp,), (caps[p],)) \
-                - bases[p]
-            rows_p = jax.lax.dynamic_slice(packed_ext, (sp, 0),
-                                           (caps[p], D2))
-            # out-of-partition (negative would only occur on overflow;
-            # >= size_p covers overshoot + padding) -> drop
-            idx_p = jnp.where(idx_p < 0, sizes[p], idx_p)
-            new_parts.append(
-                state.parts[p].at[idx_p].set(rows_p, mode="drop"))
-
-        return (StreamingFMStatePartitioned(w0, w0_accum,
-                                            tuple(new_parts)), loss), \
-            overflow
+        new_parts = push(state.parts, packed_new, starts, idx_ext)
+        return (StreamingFMStatePartitioned(w0, w0_accum, new_parts),
+                loss), overflow
 
     return step
 

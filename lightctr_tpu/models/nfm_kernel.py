@@ -337,6 +337,217 @@ def make_streaming_train_step(cfg: KernelNFMConfig, capacity: int, b_pad: int):
     return step
 
 
+class StreamingNFMStatePacked(NamedTuple):
+    """NFM streaming state with table+accum interleaved as ONE [V, 32]
+    array — the packed-master layout the FM production path uses
+    (fm_kernel.StreamingFMStatePacked: vocab-scale gather/scatter is
+    per-ROW bound, so one [R, 32] gather + one scatter-set beats the
+    unpacked 2+2, benchmarks/bench_gather_cost.py). MLP tower state
+    rides alongside (dense, tiny, updated every step)."""
+
+    w0: jax.Array
+    w0_accum: jax.Array
+    packed: jax.Array  # [V, 32] = [table row (16) | adagrad accum (16)]
+    mlp: list
+    mlp_opt: object
+
+
+def pack_streaming_state(state: StreamingNFMState) -> StreamingNFMStatePacked:
+    return StreamingNFMStatePacked(
+        w0=state.w0, w0_accum=state.w0_accum,
+        packed=jnp.concatenate([state.table, state.accum], axis=1),
+        mlp=state.mlp, mlp_opt=state.mlp_opt,
+    )
+
+
+def unpack_streaming_state(state: StreamingNFMStatePacked) -> StreamingNFMState:
+    return StreamingNFMState(
+        w0=state.w0, w0_accum=state.w0_accum,
+        table=state.packed[:, : K.D], accum=state.packed[:, K.D :],
+        mlp=state.mlp, mlp_opt=state.mlp_opt,
+    )
+
+
+def streaming_init_packed(rng: jax.Array,
+                          cfg: KernelNFMConfig) -> StreamingNFMStatePacked:
+    return pack_streaming_state(streaming_init(rng, cfg))
+
+
+def _packed_rank_core_nfm(cfg: KernelNFMConfig, tx, pulled, b, b_pad: int,
+                          R: int, w0, w0_accum, mlp, mlp_opt, lr, l2):
+    """The pull->compute->update middle of the packed streaming NFM step
+    in RANK space (fm_kernel._packed_rank_core with the MLP tower on the
+    pooled tensor spliced between forward and duals). Shared verbatim by
+    the packed single-master and range-partitioned steps so their
+    trajectories are identical by construction."""
+    from .. import optim
+
+    n_k = cfg.factor
+    D = K.D
+    n_unique = b["n_unique"]
+    rows = pulled[:, :D]
+    acc = pulled[:, D:]
+    rows = rows.at[R - 1].set(0.0)
+
+    rowsum, e_pos = kernel_forward(
+        cfg, rows, b["ranks_sorted"], b["rowid_sorted"], b["xv_sorted"],
+        b["tile_base"], b.get("tile_base_fine"), b_pad,
+    )
+    wx = rowsum[:, 0]
+    s = rowsum[:, 1 : 1 + n_k]
+    ss = rowsum[:, 1 + n_k : 1 + 2 * n_k]
+    pooled = 0.5 * (s * s - ss)
+
+    def deep_fn(mlp, pooled):
+        return mlp_apply(mlp, pooled, activation=cfg.activation)[:, 0]
+
+    deep, deep_vjp = jax.vjp(deep_fn, mlp, pooled)
+    z = w0 + wx + deep
+    labels_p = b["labels_padded"]
+    rmask_p = b["row_mask_padded"]
+    n_valid = jnp.maximum(jnp.sum(rmask_p), 1.0)
+    per = jnp.maximum(z, 0) - z * labels_p + jnp.log1p(jnp.exp(-jnp.abs(z)))
+    loss = jnp.sum(per * rmask_p) / n_valid
+    dlogit = (jax.nn.sigmoid(z) - labels_p) * rmask_p / n_valid
+
+    d_mlp, g_pool = deep_vjp(dlogit)
+    duals = jnp.zeros((b_pad, K.S))
+    duals = duals.at[:, 0].set(dlogit)
+    duals = duals.at[:, 1 : 1 + n_k].set(g_pool * s)
+    duals = duals.at[:, 1 + n_k : 1 + 2 * n_k].set(g_pool)
+
+    grad_rows = kernel_backward(
+        cfg, b["rowid_sorted"], b["xv_sorted"], e_pos, duals,
+        b["ranks_sorted"], b["tile_base"], b.get("tile_base_fine"),
+        b_pad, R,
+    )
+    grad_rows = grad_rows + l2 * rows
+
+    pos = jnp.arange(R)
+    m = (pos < n_unique).astype(jnp.float32)[:, None]
+    g = grad_rows * m
+    acc_new = acc + g * g
+    rows_new = rows - lr * g / (jnp.sqrt(acc_new) + 1e-7)
+
+    mlp_updates, mlp_opt = tx.update(d_mlp, mlp_opt, mlp)
+    mlp = optim.apply_updates(mlp, mlp_updates)
+
+    g0 = jnp.sum(dlogit)
+    w0_accum_new = w0_accum + g0 * g0
+    w0_new = w0 - lr * g0 / (jnp.sqrt(w0_accum_new) + 1e-7)
+    return (jnp.concatenate([rows_new, acc_new], axis=1), w0_new,
+            w0_accum_new, mlp, mlp_opt, loss)
+
+
+def make_streaming_train_step_packed(cfg: KernelNFMConfig, capacity: int,
+                                     b_pad: int):
+    """Packed-layout twin of make_streaming_train_step: ONE master-table
+    gather and ONE scatter-set per step. Identical numerics — the
+    scatter-set writes rows_pulled - update, which equals the unpacked
+    scatter-add because uids are unique
+    (tests/test_nfm_kernel.py::test_nfm_packed_streaming_matches_unpacked).
+    The NFM production regime BASELINE.json configs 4-5 center on
+    (reference: the PS cluster trains W&D/NFM-style sparse+dense models,
+    /root/reference/LightCTR/distributed_algo_abst.h:93-349)."""
+    R = capacity
+    if cfg.fine:
+        assert R % (5 * WTILE) == 0, (
+            f"cfg.fine streaming needs capacity % 640 == 0, got {R}"
+        )
+    tx = _mlp_tx(cfg)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: StreamingNFMStatePacked, b: dict, hyper=None):
+        lr = cfg.learning_rate if hyper is None else hyper[0]
+        l2 = cfg.l2 if hyper is None else hyper[1]
+        uids = b["uids"]
+        n_unique = b["n_unique"]
+        pulled = state.packed[uids]             # ONE [R, 32] gather
+        packed_new, w0, w0_accum, mlp, mlp_opt, loss = \
+            _packed_rank_core_nfm(cfg, tx, pulled, b, b_pad, R,
+                                  state.w0, state.w0_accum, state.mlp,
+                                  state.mlp_opt, lr, l2)
+        pos = jnp.arange(R)
+        safe_uids = jnp.where(pos < n_unique, uids,
+                              state.packed.shape[0])
+        packed = state.packed.at[safe_uids].set(packed_new, mode="drop")
+        return StreamingNFMStatePacked(w0, w0_accum, packed, mlp,
+                                       mlp_opt), loss
+
+    return step
+
+
+class StreamingNFMStatePartitioned(NamedTuple):
+    """Range-PARTITIONED packed NFM master: parts[p] holds vocab rows
+    [bounds[p-1], bounds[p]) as a separate [size_p, 32] array — the
+    FM production path's layout (fm_kernel.StreamingFMStatePartitioned:
+    scatter cost scales with the TARGET table's size, so id-range
+    partitions give the zipf hot head the small-table rate), with the
+    dense MLP tower riding alongside."""
+
+    w0: jax.Array
+    w0_accum: jax.Array
+    parts: tuple
+    mlp: list
+    mlp_opt: object
+
+
+def partition_streaming_state(state: StreamingNFMStatePacked,
+                              bounds: tuple) -> StreamingNFMStatePartitioned:
+    V = state.packed.shape[0]
+    assert tuple(sorted(bounds)) == tuple(bounds) and bounds[-1] == V, bounds
+    parts, base = [], 0
+    for b in bounds:
+        parts.append(state.packed[base:b])
+        base = b
+    return StreamingNFMStatePartitioned(state.w0, state.w0_accum,
+                                        tuple(parts), state.mlp,
+                                        state.mlp_opt)
+
+
+def departition_streaming_state(
+        state: StreamingNFMStatePartitioned) -> StreamingNFMStatePacked:
+    return StreamingNFMStatePacked(
+        state.w0, state.w0_accum, jnp.concatenate(state.parts, axis=0),
+        state.mlp, state.mlp_opt)
+
+
+def make_streaming_train_step_partitioned(cfg: KernelNFMConfig,
+                                          capacity: int, b_pad: int,
+                                          bounds: tuple, caps: tuple):
+    """Packed streaming NFM step against a range-PARTITIONED master —
+    the same pull/push exchange as the FM production path
+    (fm_kernel.make_partitioned_pull_push; bounds/caps/overflow contract
+    and the donation caveat as documented on
+    fm_kernel.make_streaming_train_step_partitioned). Returns
+    step(state, b, hyper) -> ((state, loss), overflow). Trajectories are
+    bit-identical to make_streaming_train_step_packed (shared
+    _packed_rank_core_nfm; tests/test_nfm_kernel.py)."""
+    from .fm_kernel import make_partitioned_pull_push
+
+    R = capacity
+    assert len(bounds) == len(caps) and bounds[-1] == cfg.n_features
+    if cfg.fine:
+        assert R % (5 * WTILE) == 0
+    tx = _mlp_tx(cfg)
+    pull, push = make_partitioned_pull_push(cfg.n_features, R, bounds, caps)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: StreamingNFMStatePartitioned, b: dict, hyper=None):
+        lr = cfg.learning_rate if hyper is None else hyper[0]
+        l2 = cfg.l2 if hyper is None else hyper[1]
+        pulled, starts, idx_ext, overflow = pull(state.parts, b)
+        packed_new, w0, w0_accum, mlp, mlp_opt, loss = \
+            _packed_rank_core_nfm(cfg, tx, pulled, b, b_pad, R,
+                                  state.w0, state.w0_accum, state.mlp,
+                                  state.mlp_opt, lr, l2)
+        new_parts = push(state.parts, packed_new, starts, idx_ext)
+        return (StreamingNFMStatePartitioned(w0, w0_accum, new_parts,
+                                             mlp, mlp_opt), loss), overflow
+
+    return step
+
+
 def make_streaming_train_step_fused(cfg: KernelNFMConfig, capacity: int,
                                     b_pad: int):
     """ONE-dispatch streaming NFM step on raw [B, L] batches: the device

@@ -162,3 +162,72 @@ def test_mlp_optimizer_unknown_raises():
         interpret=True, exact=True)
     with pytest.raises(ValueError, match="mlp_optimizer"):
         nfm_kernel.init(jax.random.PRNGKey(0), cfg, plan)
+
+
+def test_nfm_packed_and_partitioned_match_unpacked():
+    """The packed [V, 32] NFM master and the range-partitioned master
+    reproduce the unpacked streaming trajectory exactly (shared
+    _packed_rank_core_nfm; same contract as the FM production path,
+    tests/test_fm_partitioned.py)."""
+    V, capacity, b_pad = 900, 2048, 128
+    batches, uid_sets = [], []
+    for seed in range(3):
+        ids, vals, mask, labels = _toy_batch(seed=seed, B=8, L=64, V=V)
+        b = fm_kernel.plan_batch_on_device(
+            jnp.asarray(ids), jnp.asarray(vals), jnp.asarray(mask),
+            jnp.asarray(labels), jnp.ones((ids.shape[0],), jnp.float32),
+            capacity=capacity, b_pad=b_pad)
+        batches.append(b)
+        uid_sets.append((np.asarray(b["uids"]), int(b["n_unique"])))
+
+    cfg = nfm_kernel.KernelNFMConfig(
+        n_features=V, factor=4, hidden=(8,), learning_rate=0.1,
+        interpret=True, exact=True)
+
+    state_u = nfm_kernel.streaming_init(jax.random.PRNGKey(0), cfg)
+    step_u = nfm_kernel.make_streaming_train_step(cfg, capacity, b_pad)
+    traj_u = []
+    for b in batches:
+        state_u, loss = step_u(state_u, b)
+        traj_u.append(float(loss))
+
+    state_p = nfm_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg)
+    step_p = nfm_kernel.make_streaming_train_step_packed(cfg, capacity,
+                                                         b_pad)
+    traj_p = []
+    for b in batches:
+        state_p, loss = step_p(state_p, b)
+        traj_p.append(float(loss))
+    np.testing.assert_allclose(traj_p, traj_u, rtol=1e-6)
+
+    bounds = (64, 300, V)
+    caps = tuple(
+        max(fm_kernel.partition_caps_for(u, n, bounds, multiple=64)[p]
+            for u, n in uid_sets)
+        for p in range(len(bounds)))
+    state_q = nfm_kernel.partition_streaming_state(
+        nfm_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg),
+        bounds)
+    step_q = nfm_kernel.make_streaming_train_step_partitioned(
+        cfg, capacity, b_pad, bounds, caps)
+    traj_q = []
+    for b in batches:
+        (state_q, loss), ovf = step_q(state_q, b)
+        assert not bool(ovf)
+        traj_q.append(float(loss))
+    np.testing.assert_allclose(traj_q, traj_u, rtol=1e-6)
+
+    # master tables agree row-for-row after de-partitioning
+    merged = nfm_kernel.departition_streaming_state(state_q)
+    np.testing.assert_allclose(np.asarray(merged.packed),
+                               np.asarray(state_p.packed), rtol=1e-6)
+
+    # overflow flag fires loudly when a partition cap is too small
+    tiny_caps = tuple(64 for _ in bounds)
+    step_t = nfm_kernel.make_streaming_train_step_partitioned(
+        cfg, capacity, b_pad, bounds, tiny_caps)
+    state_t = nfm_kernel.partition_streaming_state(
+        nfm_kernel.streaming_init_packed(jax.random.PRNGKey(1), cfg),
+        bounds)
+    (_, _), ovf = step_t(state_t, batches[0])
+    assert bool(ovf)
