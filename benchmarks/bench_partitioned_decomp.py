@@ -197,6 +197,25 @@ def main():
 
         if vname == "xmat":
             continue
+        if vname == "fine" and os.environ.get("DECOMP_TRAFFIC") == "uniform":
+            # r5: the fine core measured FASTER than coarse on uniform
+            # (15.4 vs 18.3 ms) — measure the PACKED full step with the
+            # fine core (the uniform production path is packed, and its
+            # 48.8 ms row has been flat since r2)
+            stp = fm_kernel.streaming_init_packed(
+                jax.random.PRNGKey(0), vcfg)
+            stepp = fm_kernel.make_streaming_train_step_packed(
+                vcfg, vcap, b_pad)
+            stp, loss = stepp(stp, varrays)
+            float(loss)
+            t0 = time.perf_counter()
+            for _ in range(n):
+                stp, loss = stepp(stp, varrays)
+            float(loss)
+            out["packed_full_fine_ms"] = round(
+                (time.perf_counter() - t0) / n * 1e3, 3)
+            del stp
+            print(json.dumps(out), flush=True)
         # winner candidates end-to-end: fine / fused core inside the
         # partitioned step at the production zipf shape
         stf = fm_kernel.partition_streaming_state(

@@ -73,6 +73,15 @@ def main():
          "uniform", True),
         ("ffm_zipf", lambda p: make_scorer(ffm, ffm_cfg, p), 4096,
          "zipf", True),
+        # r5: bf16 serving fast path — the dense FFM forward is bound by
+        # the [B, L, F, K] HBM traffic; bf16 halves it (make_scorer
+        # compute_dtype; probabilities to ~1e-2)
+        ("ffm_bf16", lambda p: make_scorer(ffm, ffm_cfg, p,
+                                           compute_dtype="bfloat16"),
+         4096, "uniform", True),
+        ("fm_bf16", lambda p: make_scorer(fm, fm.FMConfig(
+            n_features=vocab, factor=8), p, compute_dtype="bfloat16"),
+         4096, "uniform", True),
         # r5: the GROUPED active-width scorer — the trainer engine
         # forward-only (VERDICT r4 #1). Host-planned per batch, so its
         # numbers INCLUDE host planning + [B, L] H2D transfer (the

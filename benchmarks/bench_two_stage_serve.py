@@ -14,15 +14,25 @@ batch sizes 1 (interactive latency) / 256 / 4096 (throughput). Timed
 warm with readback-chained loops (block_until_ready is not a real sync
 on this transport).
 
+r5 adds the IVF composition (VERDICT r4 #7): TWO_STAGE_IVF=1 swaps
+stage 1 for the accepted IVFIndex shortlist (serve/ann.py — the
+reference's ann_index.h feeding fm_predict is exactly this two-stage
+shape), and TWO_STAGE_ITEMS scales the catalogue (10M is the regime
+where exact scan loses the capability race).
+
     PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/bench_two_stage_serve.py
+    TWO_STAGE_IVF=1 TWO_STAGE_ITEMS=10000000 python benchmarks/bench_two_stage_serve.py
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
-N_ITEMS, D, TOPK = 1_000_000, 32, 100
+N_ITEMS = int(os.environ.get("TWO_STAGE_ITEMS", 1_000_000))
+D, TOPK = 32, 100
+USE_IVF = bool(os.environ.get("TWO_STAGE_IVF"))
 
 
 def main():
@@ -33,7 +43,7 @@ def main():
 
     enable_compilation_cache()
 
-    from lightctr_tpu.serve.ann import mips_topk_chunked
+    from lightctr_tpu.serve.ann import IVFIndex, mips_topk_chunked
 
     rng = np.random.default_rng(0)
     items = jnp.asarray(rng.normal(size=(N_ITEMS, D)).astype(np.float32)
@@ -45,21 +55,56 @@ def main():
     w_item = jnp.asarray(rng.normal(size=(N_ITEMS,)).astype(np.float32) * .01)
     v_item = jnp.asarray(rng.normal(size=(N_ITEMS, 8)).astype(np.float32) * .1)
 
-    @jax.jit
-    def serve(items, w_item, v_item, queries, salt):
-        # stage 1: exact MIPS recall over the full catalogue
-        scores, cand = mips_topk_chunked(queries, items, k=TOPK)
+    def rank(cand, scores, queries, w_item, v_item, salt):
         # stage 2: FM ranking of the candidates — gather candidate
-        # parameters, score w + <v, q_proj> + recall score prior
-        w = w_item[cand]                                       # [B, K]
-        v = v_item[cand]                                       # [B, K, 8]
+        # parameters, score w + <v, q_proj> + recall score prior.
+        # Pad candidates (id == N) gather the zero row and carry the
+        # IVF query's masked -inf scores, so they never win argmax.
+        w = w_item[jnp.minimum(cand, N_ITEMS - 1)]             # [B, K]
+        v = v_item[jnp.minimum(cand, N_ITEMS - 1)]             # [B, K, 8]
         qproj = queries[:, :8]                                 # [B, 8]
         z = w + jnp.einsum("bkf,bf->bk", v, qproj) + 0.1 * scores
+        z = jnp.where(cand >= N_ITEMS, jnp.finfo(jnp.float32).min, z)
         best = jnp.argmax(z, axis=-1)
         return jnp.sum(z.max(axis=-1)) + salt, jnp.take_along_axis(
             cand, best[:, None], axis=1)[:, 0]
 
-    out = {"n_items": N_ITEMS, "topk": TOPK}
+    if USE_IVF:
+        t0 = time.perf_counter()
+        index = IVFIndex(np.asarray(items),
+                         n_clusters=8192 if N_ITEMS > 2_000_000 else 4096)
+        build_s = time.perf_counter() - t0
+        from lightctr_tpu.serve.ann import _ivf_query
+
+        ivf_raw = _ivf_query.__wrapped__
+
+        # index arrays ride the jit boundary as ARGUMENTS — as closure
+        # constants the 1.3 GB items_ext would be serialized into the
+        # remote-compile payload (the serving lesson of r4, CLAUDE.md)
+        @jax.jit
+        def serve_ivf(centroids, bucket_ids, items_ext, tail_ids,
+                      w_item, v_item, queries, salt):
+            # stage 1: IVF shortlist (exact-coverage overflow tail)
+            scores, cand = ivf_raw(queries, centroids, bucket_ids,
+                                   items_ext, tail_ids, index.n_items,
+                                   TOPK, 32, "ip")
+            return rank(cand, scores, queries, w_item, v_item, salt)
+
+        def serve(items, w_item, v_item, queries, salt):
+            return serve_ivf(index.centroids, index.bucket_ids,
+                             index.items_ext, index.tail_ids,
+                             w_item, v_item, queries, salt)
+    else:
+        build_s = 0.0
+
+        @jax.jit
+        def serve(items, w_item, v_item, queries, salt):
+            # stage 1: exact MIPS recall over the full catalogue
+            scores, cand = mips_topk_chunked(queries, items, k=TOPK)
+            return rank(cand, scores, queries, w_item, v_item, salt)
+
+    out = {"n_items": N_ITEMS, "topk": TOPK, "ivf": USE_IVF,
+           "index_build_s": round(build_s, 1)}
     for B in (1, 256, 4096):
         q = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
         s, ids = serve(items, w_item, v_item, q, 0.0)

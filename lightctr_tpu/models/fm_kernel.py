@@ -75,6 +75,11 @@ class KernelFMConfig:
     # K.D); wider factors (the reference's vs_libfm goes to k=64) run on
     # the width-agnostic design-matrix (xmat) path and pad the row to the
     # next multiple of 16 lanes.
+    # MFU note (measured, benchmarks/bench_k64_bf16.py): the xmat
+    # matmuls' MXU occupancy tracks 128-LANE tiles of (1 + factor) —
+    # k=64 (D=129, two tiles, half empty) runs 12.7% MFU while k=127
+    # (D=128, one full tile) runs 26.5% AND is faster in absolute time.
+    # When model quality allows, pick factor = 128*m - 1.
     @property
     def row_width(self) -> int:
         return max(16, (1 + self.factor + 15) // 16 * 16)

@@ -231,3 +231,33 @@ def test_ffm_grouped_scorer_matches_dense():
     assert grouped.state["replans"] == 2
     # (exact=False bf16 mode is TPU-only — the CPU test backend lacks
     # bf16 x bf16 = f32 dots; measured on-chip in bench_scoring.py)
+
+
+def test_scorer_compute_dtype_cast_path():
+    """compute_dtype exercises the cast path (params + float batch
+    entries); with float32 it must be a no-op vs the default scorer.
+    (bfloat16 is TPU-measured in bench_scoring — CPU lacks bf16 dots.)"""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from lightctr_tpu.models import ffm
+    from lightctr_tpu.serve.scorer import make_scorer
+
+    rng = np.random.default_rng(5)
+    V, F, Kf, B, L = 1000, 4, 4, 16, 8
+    ids = rng.integers(0, V, (B, L)).astype(np.int64)
+    batch = {
+        "ids": jnp.asarray(ids),
+        "vals": jnp.asarray(rng.normal(size=(B, L)).astype(np.float32)),
+        "fields": jnp.asarray((ids % F).astype(np.int64)),
+        "mask": jnp.ones((B, L), jnp.float32),
+        "labels": jnp.zeros((B,), jnp.float32),
+        "row_mask": jnp.ones((B,), jnp.float32),
+    }
+    cfg = ffm.FFMConfig(n_features=V, n_fields=F, factor=Kf)
+    params = ffm.init(jax.random.PRNGKey(0), cfg)
+    p0 = np.asarray(make_scorer(ffm, cfg, params)(batch))
+    p1 = np.asarray(make_scorer(ffm, cfg, params,
+                                compute_dtype=jnp.float32)(batch))
+    np.testing.assert_allclose(p1, p0, rtol=1e-6)
