@@ -180,6 +180,44 @@ def main():
                 print(f"{name}: attempt {attempt} failed: {e}",
                       flush=True)
                 time.sleep(60)
+    # SCAN scoring (r5): K stacked batches per dispatch — the dataset-
+    # scoring regime (fm_predict scores a whole file). Amortises the
+    # per-dispatch fixed cost that dominates the single-batch rows.
+    from lightctr_tpu.serve.scorer import make_scan_scorer
+
+    Kb = 8
+    scan_jobs = [
+        ("fm_scan8", fm, fm.FMConfig(n_features=vocab, factor=8)),
+        ("ffm_scan8", ffm, ffm_cfg),
+        ("nfm_scan8", nfm, nfm.NFMConfig(n_features=vocab, factor=8,
+                                         hidden=(64,))),
+    ]
+    for name, mod, cfg in scan_jobs:
+        if only and name not in only.split(","):
+            continue
+        B = 4096
+        stack = {}
+        nbs = [np_batch(make_ids(B, "uniform")) for _ in range(Kb)]
+        for k in nbs[0]:
+            stack[k] = jnp.asarray(np.stack([nb[k] for nb in nbs]))
+        for attempt in range(3):
+            try:
+                score = make_scan_scorer(mod, cfg, params_for(name))
+                s = np.asarray(score(stack))
+                assert np.isfinite(s).all() and s.shape == (Kb, B)
+                n = 10
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    s = np.asarray(score(stack))
+                dt = (time.perf_counter() - t0) / n
+                out[f"{name}_examples_per_sec"] = round(Kb * B / dt, 1)
+                out[f"{name}_ms_per_batch"] = round(dt / Kb * 1e3, 3)
+                print(json.dumps(out), flush=True)
+                break
+            except Exception as e:                     # noqa: BLE001
+                print(f"{name}: attempt {attempt} failed: {e}", flush=True)
+                time.sleep(60)
+
     # host-plan cost receipt for the grouped scorer's steady state:
     # plan_into_layout per batch against a frozen calibrated layout
     # (PARITY.md serving table)

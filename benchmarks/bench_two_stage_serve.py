@@ -46,8 +46,21 @@ def main():
     from lightctr_tpu.serve.ann import IVFIndex, mips_topk_chunked
 
     rng = np.random.default_rng(0)
-    items = jnp.asarray(rng.normal(size=(N_ITEMS, D)).astype(np.float32)
-                        / np.sqrt(D))
+    if USE_IVF:
+        # CLUSTERED catalogue (1024 modes — bench_ivf_ann's accepted
+        # regime): real item embeddings live on manifolds, and IVF's
+        # bucket geometry depends on it. The first r5 run used an
+        # unclustered Gaussian cloud: k-means buckets overflowed into a
+        # multi-million-row exact-scan tail and B=1 cost 110 ms — the
+        # tail scan, not the shortlist, dominated.
+        modes = (rng.normal(size=(1024, D)) * 3.0).astype(np.float32)
+        which = rng.integers(0, 1024, N_ITEMS)
+        items = jnp.asarray(
+            (modes[which] + rng.normal(size=(N_ITEMS, D))).astype(
+                np.float32) / np.sqrt(D))
+    else:
+        items = jnp.asarray(rng.normal(size=(N_ITEMS, D)).astype(np.float32)
+                            / np.sqrt(D))
     # ranking model: FM over (user embedding x item embedding) — the
     # candidate's item vector doubles as its feature values, the user
     # vector as the query; stage-2 re-scores the top-k exactly like
@@ -71,8 +84,15 @@ def main():
 
     if USE_IVF:
         t0 = time.perf_counter()
+        # the r4-accepted 10M config (bench_ivf_ann.py: 8192 centroids,
+        # cap 2560, nprobe 16 -> 0.979 recall@100). The first attempt
+        # used the default cap (4*mean = 4883) and nprobe=32: 3.2% of
+        # the catalogue probed per query, B=1 121 ms, and the B=4096
+        # bucket gather ([B, nprobe*cap, D] = 82 GB) OOMs — probe
+        # volume is THE knob at 10M.
         index = IVFIndex(np.asarray(items),
-                         n_clusters=8192 if N_ITEMS > 2_000_000 else 4096)
+                         n_clusters=8192 if N_ITEMS > 2_000_000 else 4096,
+                         bucket_cap=2560 if N_ITEMS > 2_000_000 else None)
         build_s = time.perf_counter() - t0
         from lightctr_tpu.serve.ann import _ivf_query
 
@@ -87,7 +107,7 @@ def main():
             # stage 1: IVF shortlist (exact-coverage overflow tail)
             scores, cand = ivf_raw(queries, centroids, bucket_ids,
                                    items_ext, tail_ids, index.n_items,
-                                   TOPK, 32, "ip")
+                                   TOPK, 16, "ip")
             return rank(cand, scores, queries, w_item, v_item, salt)
 
         def serve(items, w_item, v_item, queries, salt):
@@ -105,7 +125,12 @@ def main():
 
     out = {"n_items": N_ITEMS, "topk": TOPK, "ivf": USE_IVF,
            "index_build_s": round(build_s, 1)}
-    for B in (1, 256, 4096):
+    if USE_IVF:
+        out["tail_frac"] = round(index.tail_frac, 4)
+    # IVF mode: the bucket gather is [B, nprobe*cap, D] — B=4096 at the
+    # 10M config is 21 GB, beyond one chip's HBM; 1024 is the largest
+    # feasible throughput point (5.4 GB transient)
+    for B in ((1, 256, 1024) if USE_IVF else (1, 256, 4096)):
         q = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
         s, ids = serve(items, w_item, v_item, q, 0.0)
         float(s)

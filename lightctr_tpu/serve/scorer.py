@@ -56,6 +56,46 @@ def make_scorer(model, cfg, params, compute_dtype=None) -> Callable:
     return score
 
 
+def make_scan_scorer(model, cfg, params, compute_dtype=None) -> Callable:
+    """Score K STACKED batches in ONE dispatch: a lax.scan over the
+    leading axis of {k: [K, B, ...]} batch arrays, one device sync for
+    the whole stack. The dataset-scoring path — the reference's
+    predictor scores a whole test FILE (fm_predict.cpp:59-90), and on
+    a dispatch-bound transport the per-batch fixed cost (~25 ms
+    dispatch+readback at B=4096 on the tunneled stack, PARITY.md
+    serving table) amortises K-fold. Returns score(batches) ->
+    [K, B] probabilities. Same numerics as make_scorer per batch
+    (tests/test_two_stage_serve.py::test_scan_scorer_matches_per_batch).
+    """
+    import jax.numpy as jnp
+
+    params = jax.device_put(params)
+
+    @jax.jit
+    def score_with(params, batches):
+        if compute_dtype is not None:
+            params = jax.tree_util.tree_map(
+                lambda a: a.astype(compute_dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+            batches = {
+                k: v.astype(compute_dtype)
+                if jnp.issubdtype(v.dtype, jnp.floating) else v
+                for k, v in batches.items()
+            }
+
+        def body(carry, b):
+            return carry, sigmoid(
+                model.forward(params, b, cfg).astype(jnp.float32))
+
+        _, probs = jax.lax.scan(body, None, batches)
+        return probs
+
+    def score(batches):
+        return score_with(params, batches)
+
+    return score
+
+
 def make_ffm_kernel_scorer(cfg, params, batch_size: int,
                            seq_len: int) -> Callable:
     """FFM scorer through the COUNT-MATRIX kernel formulation instead of

@@ -261,3 +261,36 @@ def test_scorer_compute_dtype_cast_path():
     p1 = np.asarray(make_scorer(ffm, cfg, params,
                                 compute_dtype=jnp.float32)(batch))
     np.testing.assert_allclose(p1, p0, rtol=1e-6)
+
+
+def test_scan_scorer_matches_per_batch():
+    """make_scan_scorer (K stacked batches, one dispatch) returns the
+    same probabilities as make_scorer applied per batch."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from lightctr_tpu.models import ffm
+    from lightctr_tpu.serve.scorer import make_scan_scorer, make_scorer
+
+    rng = np.random.default_rng(9)
+    V, F, Kf, K, B, L = 800, 4, 4, 3, 16, 8
+    ids = rng.integers(0, V, (K, B, L)).astype(np.int64)
+    batches = {
+        "ids": jnp.asarray(ids),
+        "vals": jnp.asarray(rng.normal(size=(K, B, L)).astype(np.float32)),
+        "fields": jnp.asarray((ids % F).astype(np.int64)),
+        "mask": jnp.asarray((rng.random((K, B, L)) < 0.9)
+                            .astype(np.float32)),
+        "labels": jnp.zeros((K, B), jnp.float32),
+        "row_mask": jnp.ones((K, B), jnp.float32),
+    }
+    cfg = ffm.FFMConfig(n_features=V, n_fields=F, factor=Kf)
+    params = ffm.init(jax.random.PRNGKey(1), cfg)
+    scan = make_scan_scorer(ffm, cfg, params)
+    per = make_scorer(ffm, cfg, params)
+    p_scan = np.asarray(scan(batches))
+    assert p_scan.shape == (K, B)
+    for k in range(K):
+        pk = np.asarray(per({key: v[k] for key, v in batches.items()}))
+        np.testing.assert_allclose(p_scan[k], pk, rtol=1e-6)
