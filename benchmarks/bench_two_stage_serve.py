@@ -103,17 +103,18 @@ def main():
         # remote-compile payload (the serving lesson of r4, CLAUDE.md)
         @jax.jit
         def serve_ivf(centroids, bucket_ids, items_ext, tail_ids,
-                      w_item, v_item, queries, salt):
+                      tail_vecs, w_item, v_item, queries, salt):
             # stage 1: IVF shortlist (exact-coverage overflow tail)
             scores, cand = ivf_raw(queries, centroids, bucket_ids,
-                                   items_ext, tail_ids, index.n_items,
-                                   TOPK, 16, "ip")
+                                   items_ext, tail_ids, tail_vecs,
+                                   index.n_items, TOPK, 16, "ip")
             return rank(cand, scores, queries, w_item, v_item, salt)
 
         def serve(items, w_item, v_item, queries, salt):
             return serve_ivf(index.centroids, index.bucket_ids,
                              index.items_ext, index.tail_ids,
-                             w_item, v_item, queries, salt)
+                             index.tail_vecs, w_item, v_item, queries,
+                             salt)
     else:
         build_s = 0.0
 
@@ -127,6 +128,19 @@ def main():
            "index_build_s": round(build_s, 1)}
     if USE_IVF:
         out["tail_frac"] = round(index.tail_frac, 4)
+        # stage-1-only control IN THIS process (the r5 composition probe
+        # measured the full request at 2.9 ms while this script's first
+        # runs printed ~117 — keep an in-situ receipt for the delta)
+        q1 = jnp.asarray(rng.normal(size=(1, D)).astype(np.float32))
+        s, _ = index.query(q1, k=TOPK, nprobe=16)
+        np.asarray(s)
+        t0 = time.perf_counter()
+        for _ in range(30):
+            s, _ = index.query(q1, k=TOPK, nprobe=16)
+        np.asarray(s)
+        out["s1_only_b1_ms"] = round(
+            (time.perf_counter() - t0) / 30 * 1e3, 3)
+        print(json.dumps(out), flush=True)
     # IVF mode: the bucket gather is [B, nprobe*cap, D] — B=4096 at the
     # 10M config is 21 GB, beyond one chip's HBM; 1024 is the largest
     # feasible throughput point (5.4 GB transient)

@@ -113,7 +113,16 @@ class MIPSIndex:
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
 def _ivf_query(queries, centroids, bucket_ids, items_ext, tail_ids,
-               n_items, k, nprobe, metric):
+               tail_vecs, n_items, k, nprobe, metric):
+    """r5 tail redesign: the overflow tail used to be BROADCAST per
+    query and gathered [B, T, D] — at a 10M catalogue whose tail holds
+    ~250k rows that per-query gather was 8.8 GB at B=256 (OOM) and the
+    single top_k ran over nprobe*cap + T lanes (~110 ms at B=1,
+    measured in bench_two_stage_serve.py's first attempt). Now the tail
+    vectors live RESIDENT ([T, D], prebuilt at index construction),
+    tail scoring is one [B, D] x [D, T] MXU matmul, and the bucket and
+    tail shortlists take separate top-ks merged over 2k lanes — same
+    results (coverage unchanged), O(T*D) memory instead of O(B*T*D)."""
     b = queries.shape[0]
     neg = jnp.finfo(jnp.float32).min
     q = queries
@@ -132,8 +141,6 @@ def _ivf_query(queries, centroids, bucket_ids, items_ext, tail_ids,
     _, probe = jax.lax.top_k(score(q, cent), nprobe)     # [B, nprobe]
 
     cand_ids = bucket_ids[probe].reshape(b, -1)          # [B, nprobe*M]
-    tail = jnp.broadcast_to(tail_ids[None, :], (b, tail_ids.shape[0]))
-    cand_ids = jnp.concatenate([cand_ids, tail], axis=1)
     cand = items_ext[cand_ids]                           # [B, n_cand, D]
     if metric == "cos":
         cand = cand / jnp.linalg.norm(cand, axis=-1,
@@ -143,8 +150,23 @@ def _ivf_query(queries, centroids, bucket_ids, items_ext, tail_ids,
     if metric == "l2":
         s = 2.0 * s - jnp.sum(cand * cand, axis=-1)
     s = jnp.where(cand_ids < n_items, s, neg)            # mask bucket pads
-    top_s, pos = jax.lax.top_k(s, k)
-    return top_s, jnp.take_along_axis(cand_ids, pos, axis=1)
+    kk = min(k, s.shape[1])
+    top_s, pos = jax.lax.top_k(s, kk)
+    top_i = jnp.take_along_axis(cand_ids, pos, axis=1)
+
+    # overflow tail: resident vectors, one matmul, own top-k, 2k merge
+    tv = tail_vecs
+    if metric == "cos":
+        tv = tv / jnp.linalg.norm(tv, axis=-1, keepdims=True).clip(1e-12)
+    st = score(q, tv)                                    # [B, T]
+    st = jnp.where(tail_ids[None, :] < n_items, st, neg)
+    kt = min(k, st.shape[1])
+    t_s, t_pos = jax.lax.top_k(st, kt)
+    t_i = tail_ids[t_pos]
+    cat_s = jnp.concatenate([top_s, t_s], axis=1)
+    cat_i = jnp.concatenate([top_i, t_i], axis=1)
+    fs, fp = jax.lax.top_k(cat_s, min(k, cat_s.shape[1]))
+    return fs, jnp.take_along_axis(cat_i, fp, axis=1)
 
 
 class IVFIndex:
@@ -212,12 +234,18 @@ class IVFIndex:
         # one zero row at index n: pad ids gather it, scores masked
         self.items_ext = jnp.concatenate(
             [jnp.asarray(items_np), jnp.zeros((1, d), jnp.float32)])
+        # resident tail vectors (pad rows are zeros, masked at query
+        # time by tail_ids < n) — see _ivf_query's r5 tail redesign
+        tvecs = np.zeros((t_pad, d), np.float32)
+        tvecs[: len(tail)] = items_np[tail]
+        self.tail_vecs = jnp.asarray(tvecs)
 
     def query(self, queries, k: int = 10, nprobe: int = 8,
               metric: str = "ip"):
         return _ivf_query(jnp.asarray(queries, jnp.float32),
                           self.centroids, self.bucket_ids, self.items_ext,
-                          self.tail_ids, self.n_items, k, nprobe, metric)
+                          self.tail_ids, self.tail_vecs, self.n_items,
+                          k, nprobe, metric)
 
 
 class ShardedIVFIndex:
