@@ -260,7 +260,8 @@ def production_main():
         from lightctr_tpu.data.pipeline import Prefetcher
         from lightctr_tpu.train.kernel_engine import (
             _capacity_octave,
-            _partition_caps_octave,
+            _partition_caps_octave_counts,
+            _partition_unique_counts,
         )
 
         n_batches = 100
@@ -276,13 +277,16 @@ def production_main():
 
         cap_mult, cap_max = 5120, 262_144 + 5120
 
+        m1 = np.ones((B * L,), np.float32)
+
         def place(b):
             arrays = tuple(
                 jnp.asarray(b[k]) for k in
                 ("ids", "vals", "mask", "labels", "row_mask"))
-            u = np.unique(b["ids"].reshape(-1))
-            capb = _capacity_octave(len(u), cap_mult, cap_max)
-            return (capb, _partition_caps_octave(u, bounds)), arrays
+            nu, counts = _partition_unique_counts(
+                b["ids"].reshape(-1), m1, bounds)
+            capb = _capacity_octave(nu, cap_mult, cap_max)
+            return (capb, _partition_caps_octave_counts(counts)), arrays
 
         steps = {}
 
@@ -316,6 +320,87 @@ def production_main():
         out[f"production_{name}e2e_cap_keys"] = warm_keys
         out[f"production_{name}e2e_recompiles_steady"] = recompiles
         del estate
+
+        # BINARY e2e: the same stream through the ids+labels-only fused
+        # step (vals/mask synthesized in-graph) — standard binary-CTR
+        # traffic ships 1/3 the bytes, and the e2e row above is
+        # transfer-bound on this stack (~10 ms/MB tunnel H2D).
+        def place_bin(b):
+            arrays = (jnp.asarray(b["ids"]), jnp.asarray(b["labels"]))
+            nu, counts = _partition_unique_counts(
+                b["ids"].reshape(-1), m1, bounds)
+            capb = _capacity_octave(nu, cap_mult, cap_max)
+            return (capb, _partition_caps_octave_counts(counts)), arrays
+
+        bsteps = {}
+
+        def bstep_for(key):
+            if key not in bsteps:
+                capb, caps_b = key
+                bsteps[key] = (
+                    fm_kernel
+                    .make_streaming_train_step_fused_partitioned_binary(
+                        cfg_q, capb, plan_q.b_pad, bounds, caps_b))
+            return bsteps[key]
+
+        bstate = fm_kernel.partition_streaming_state(
+            fm_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg_q),
+            bounds)
+        pfb = Prefetcher(lambda ep: iter(zbatches), placer=place_bin)
+        for key, arrays in pfb.epoch(0):      # warm: compiles once
+            (bstate, loss), ovf = bstep_for(key)(bstate, *arrays)
+        float(loss)
+        t0 = time.perf_counter()
+        for key, arrays in pfb.epoch(1):
+            (bstate, loss), ovf = bstep_for(key)(bstate, *arrays)
+        float(loss)
+        dtb = (time.perf_counter() - t0) / n_batches
+        out[f"production_{name}e2e_binary_examples_per_sec"] = round(
+            B / dtb, 1)
+        out[f"production_{name}e2e_binary_step_ms"] = round(dtb * 1e3, 3)
+        del bstate
+
+        # HOST-planned e2e: the native planner runs on the Prefetcher
+        # thread and ships SORTED plan arrays; the device runs the
+        # sort-free partitioned step. Trades the fused step's in-graph
+        # 262k argsort (~8.5 ms of its 17.6 ms resident time,
+        # bench_e2e_decomp.py) for host plan work + the same wire bytes.
+        def place_host(b):
+            nu, counts = _partition_unique_counts(
+                b["ids"].reshape(-1).astype(np.int64), m1, bounds)
+            capb = _capacity_octave(nu, cap_mult, cap_max)
+            plan_h = fm_kernel.plan_batch(
+                b["ids"].astype(np.int64), ones, ones, b["labels"],
+                n_rows_pad=capb, fine=True)
+            arrays_h = jax.tree_util.tree_map(
+                jnp.asarray, fm_kernel.plan_to_arrays(plan_h, capb))
+            return (capb, _partition_caps_octave_counts(counts)), arrays_h
+
+        hsteps = {}
+
+        def hstep_for(key):
+            if key not in hsteps:
+                capb, caps_b = key
+                hsteps[key] = fm_kernel.make_streaming_train_step_partitioned(
+                    cfg_q, capb, plan_q.b_pad, bounds, caps_b)
+            return hsteps[key]
+
+        hstate = fm_kernel.partition_streaming_state(
+            fm_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg_q),
+            bounds)
+        pfh = Prefetcher(lambda ep: iter(zbatches), placer=place_host)
+        for key, arrays_h in pfh.epoch(0):    # warm
+            (hstate, loss), ovf = hstep_for(key)(hstate, arrays_h)
+        float(loss)
+        t0 = time.perf_counter()
+        for key, arrays_h in pfh.epoch(1):
+            (hstate, loss), ovf = hstep_for(key)(hstate, arrays_h)
+        float(loss)
+        dth = (time.perf_counter() - t0) / n_batches
+        out[f"production_{name}e2e_hostplan_examples_per_sec"] = round(
+            B / dth, 1)
+        out[f"production_{name}e2e_hostplan_step_ms"] = round(dth * 1e3, 3)
+        del hstate
     print(json.dumps(out))
 
 

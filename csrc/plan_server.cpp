@@ -172,6 +172,48 @@ int64_t lc_count_unique(const int64_t* ids, const float* valid, int64_t n) {
   return count;
 }
 
+// Range-binned unique counter for the partitioned-master caps: one
+// hash-set pass that also bins each NEW unique id into its id-range
+// partition (bounds ascending, bounds[n_bounds-1] > every id). Replaces
+// the per-batch numpy sort-unique + searchsorted on the Prefetcher
+// thread — the host-planning cost the r5 e2e production row measured as
+// its bottleneck (bench.py production_zipf_e2e_*). counts_out must hold
+// n_bounds int64 slots. Returns total uniques, -1 on bad input.
+extern "C" int64_t lc_count_unique_ranges(const int64_t* ids,
+                                          const float* valid, int64_t n,
+                                          const int64_t* bounds,
+                                          int64_t n_bounds,
+                                          int64_t* counts_out) {
+  if (n < 0 || n_bounds <= 0) return -1;
+  for (int64_t p = 0; p < n_bounds; ++p) counts_out[p] = 0;
+  uint64_t cap = 16;
+  int log2_cap = 4;
+  while (cap < uint64_t(n) * 2) { cap <<= 1; ++log2_cap; }
+  std::vector<uint64_t> table(cap, 0);
+  uint64_t mask = cap - 1;
+  int64_t count = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (valid[i] <= 0.0f) continue;
+    uint64_t key = uint64_t(ids[i]) + 1;
+    uint64_t h = (key * 0x9E3779B97F4A7C15ULL) >> (64 - log2_cap);
+    for (;;) {
+      uint64_t cur = table[h];
+      if (cur == key) break;
+      if (cur == 0) {
+        table[h] = key;
+        ++count;
+        int64_t id = ids[i];
+        for (int64_t p = 0; p < n_bounds; ++p) {   // n_bounds <= ~8
+          if (id < bounds[p]) { ++counts_out[p]; break; }
+        }
+        break;
+      }
+      h = (h + 1) & mask;
+    }
+  }
+  return count;
+}
+
 // ---------------------------------------------------------------------------
 // Plan-ahead server: worker threads plan submitted batches while the
 // trainer consumes earlier ones (the reference's thread-pool data path,

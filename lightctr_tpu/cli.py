@@ -131,11 +131,17 @@ def main(argv=None):
     s = sub.add_parser("score", parents=[common])
     s.add_argument("--test", required=True)
     s.add_argument("--ckpt", required=True)
-    s.add_argument("--engine", default="dense", choices=["dense", "kernel"],
-                   help="kernel (ffm only): score through the count-"
-                        "matrix formulation — the dense [B,L,F,K] FFM "
-                        "forward cannot compile at production shapes "
-                        "on this stack (PARITY.md serving section)")
+    s.add_argument("--engine", default="dense",
+                   choices=["dense", "kernel", "grouped"],
+                   help="kernel (ffm only): the count-matrix "
+                        "formulation for extreme-dedup traffic "
+                        "(R << L*K); grouped (ffm only): the grouped "
+                        "active-width engine forward-only (PARITY.md "
+                        "serving section has the measured trade-offs)")
+    s.add_argument("--scan", type=int, default=None,
+                   help="stack K batches per device dispatch — the "
+                        "dataset-scoring throughput path (2-3x at "
+                        "B=4096, PARITY.md serving table)")
     s.add_argument("--n-features", type=int, default=None,
                    help="param-shape vocab; defaults to checkpoint metadata")
     s.add_argument("--n-fields", type=int, default=0)
@@ -402,11 +408,15 @@ def main(argv=None):
         template = model.init(jax.random.PRNGKey(0), cfg)
         params = load_checkpoint(args.ckpt, template)
         test_ds = load_libffm(args.test, n_features=n_features, n_fields=max(n_fields, 1))
-        if args.engine == "kernel" and args.model != "ffm":
-            raise SystemExit("score --engine kernel supports ffm only")
+        if args.engine in ("kernel", "grouped") and args.model != "ffm":
+            raise SystemExit(f"score --engine {args.engine} supports ffm only")
+        if args.scan and args.engine != "dense":
+            raise SystemExit("score --scan uses the dense forward "
+                             "(--engine dense)")
         metrics = batch_score(model, cfg, params, test_ds,
                               batch_size=args.batch_size,
-                              dump_path=args.dump, engine=args.engine)
+                              dump_path=args.dump, engine=args.engine,
+                              scan=args.scan)
         print(json.dumps(metrics))
 
 

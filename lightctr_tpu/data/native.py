@@ -52,7 +52,9 @@ def _load_lib():
     # that, rebuild ONCE, and reload; if the rebuild can't produce the
     # symbols either, fall back to the pure-Python paths (return None)
     # rather than letting the AttributeError escape into callers.
-    if not hasattr(lib, "lc_plan_sorted") or not hasattr(lib, "lc_gbm_hist"):
+    if (not hasattr(lib, "lc_plan_sorted")
+            or not hasattr(lib, "lc_gbm_hist")
+            or not hasattr(lib, "lc_count_unique_ranges")):
         # dlclose for real: glibc dedupes dlopen by pathname, so without
         # this the reload below would hand back the stale handle
         import _ctypes
@@ -73,7 +75,8 @@ def _load_lib():
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
             return None
-        if not hasattr(lib, "lc_plan_sorted"):
+        if (not hasattr(lib, "lc_plan_sorted")
+                or not hasattr(lib, "lc_count_unique_ranges")):
             return None
     try:
         _bind(lib)
@@ -113,6 +116,9 @@ def _bind(lib) -> None:
     ]
     lib.lc_count_unique.restype = ctypes.c_int64
     lib.lc_count_unique.argtypes = [_i64p, _f32p, ctypes.c_int64]
+    lib.lc_count_unique_ranges.restype = ctypes.c_int64
+    lib.lc_count_unique_ranges.argtypes = [
+        _i64p, _f32p, ctypes.c_int64, _i64p, ctypes.c_int64, _i64p]
     lib.lc_plan_server_create.restype = ctypes.c_void_p
     lib.lc_plan_server_create.argtypes = [ctypes.c_int, ctypes.c_int]
     lib.lc_plan_server_submit.restype = ctypes.c_int
@@ -244,6 +250,31 @@ def count_unique_native(flat_ids: np.ndarray, valid: np.ndarray):
     ids = np.ascontiguousarray(flat_ids, np.int64)
     v = np.ascontiguousarray(valid, np.float32).reshape(-1)
     return int(lib.lc_count_unique(ids, v, n))
+
+
+def count_unique_ranges_native(flat_ids: np.ndarray, valid: np.ndarray,
+                               bounds: tuple):
+    """Per-id-range unique counts (the partitioned master's cap sizing)
+    in ONE native hash-set pass — replaces numpy sort-unique +
+    searchsorted on the Prefetcher thread (the host-planning cost the
+    r5 e2e production row is bound by). Returns int64 counts[len(bounds)]
+    where counts[p] = #unique ids in [bounds[p-1], bounds[p]), or None
+    to fall back (tests/test_plan_native.py pins equality vs numpy)."""
+    lib = _load_lib()
+    n = int(flat_ids.size)
+    if lib is None or n == 0:
+        return None
+    if flat_ids.min() < 0 or flat_ids.max() >= _PLAN_MAX_ID:
+        return None
+    ids = np.ascontiguousarray(flat_ids, np.int64)
+    v = np.ascontiguousarray(valid, np.float32).reshape(-1)
+    b = np.ascontiguousarray(np.asarray(bounds), np.int64)
+    counts = np.zeros((len(bounds),), np.int64)
+    total = int(lib.lc_count_unique_ranges(ids, v, n, b, len(bounds),
+                                           counts))
+    if total < 0:
+        return None
+    return counts
 
 
 class PlanServer:

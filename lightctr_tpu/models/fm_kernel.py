@@ -1296,6 +1296,37 @@ def make_streaming_train_step_fused_partitioned(
     return step
 
 
+def make_streaming_train_step_fused_partitioned_binary(
+        cfg: KernelFMConfig, capacity: int, b_pad: int,
+        bounds: tuple, caps: tuple):
+    """make_streaming_train_step_fused_partitioned for BINARY batches:
+    step(state, ids, labels) — vals/mask/row_mask are synthesized as
+    ones IN-GRAPH, so the per-batch wire carries only ids (int32) +
+    labels, ~1/3 of the general fused step's transfer. Exists because
+    the honest end-to-end production row is TRANSFER-bound on this
+    stack (~10 ms/MB over the tunnel, bench.py production_zipf_e2e_* /
+    CLAUDE.md), and standard binary-feature CTR traffic (every libffm
+    value 1, fixed L) doesn't need to ship constants. Trajectories
+    identical to the general step on all-ones batches
+    (tests/test_fm_partitioned.py)."""
+    assert cfg.n_features < 2**31 - 1, (
+        "device planner is int32 with INT32_MAX as the pad sentinel")
+    inner = make_streaming_train_step_partitioned(cfg, capacity, b_pad,
+                                                  bounds, caps)
+    inner_raw = inner.__wrapped__
+    plan_raw = plan_batch_on_device.__wrapped__
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: StreamingFMStatePartitioned, ids, labels, hyper=None):
+        ones = jnp.ones(ids.shape, jnp.float32)
+        rmask = jnp.ones((ids.shape[0],), jnp.float32)
+        b = plan_raw(ids, ones, ones, labels, rmask,
+                     capacity=capacity, b_pad=b_pad, n_pad_multiple=None)
+        return inner_raw(state, b, hyper)
+
+    return step
+
+
 def make_streaming_train_step_fused(cfg: KernelFMConfig, capacity: int,
                                     b_pad: int):
     """ONE-dispatch streaming step on RAW [B, L] batches: the device

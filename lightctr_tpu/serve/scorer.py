@@ -305,10 +305,54 @@ def batch_score(
     batch_size: int = 512,
     dump_path: str | None = None,
     engine: str = "dense",
+    scan: int | None = None,
 ) -> dict:
     """Score a dataset; returns {auc, logloss, accuracy}; optionally dumps
     one probability per line (reference prediction dump format,
-    fm_predict.cpp:79-89)."""
+    fm_predict.cpp:79-89).
+
+    scan=K stacks K batches per device dispatch (make_scan_scorer) —
+    the dataset-scoring throughput path: one dispatch + one readback
+    per stack amortises the per-batch fixed cost (measured 2.2-3x at
+    B=4096 on the tunneled stack, PARITY.md serving table). Identical
+    metrics/predictions to per-batch scoring."""
+    if scan:
+        assert engine == "dense", "scan scoring uses the dense forward"
+        score_many = make_scan_scorer(model, cfg, params)
+        acc = MetricAccumulator()
+        preds = []
+        group: list[dict] = []
+
+        def flush():
+            import jax.numpy as jnp
+
+            k_real = len(group)
+            g = group + [
+                {k: np.zeros_like(group[0][k]) for k in group[0]}
+            ] * (scan - k_real)
+            stacked = {k: jnp.asarray(np.stack([b[k] for b in g]))
+                       for k in g[0]}
+            probs = np.asarray(score_many(stacked))
+            for i in range(k_real):
+                m = np.asarray(group[i]["row_mask"]) > 0
+                acc.update(probs[i][m],
+                           np.asarray(group[i]["labels"])[m])
+                preds.append(probs[i][m])
+            group.clear()
+
+        for batch in sparse_batches(ds, batch_size):
+            group.append({k: np.asarray(v) for k, v in batch.items()})
+            if len(group) == scan:
+                flush()
+        if group:
+            flush()
+        if dump_path:
+            allp = np.concatenate(preds)
+            with open(dump_path, "w") as f:
+                for p in allp:
+                    f.write(f"{float(p):.6f}\n")
+        return acc.result()
+
     if engine == "kernel":
         score = make_ffm_kernel_scorer(cfg, params, batch_size,
                                        ds.ids.shape[1])

@@ -85,13 +85,11 @@ def _partition_bounds(n_features: int) -> tuple:
     return tuple(pts) + (n_features,)
 
 
-def _partition_caps_octave(u_sorted: np.ndarray, bounds: tuple) -> tuple:
-    """Octave-bucketed per-partition caps from a batch's SORTED unique
-    ids: smallest 1024 * 2^k >= count per partition — stationary traffic
-    re-uses one compiled program; caps >= counts by construction so the
+def _partition_caps_octave_counts(counts) -> tuple:
+    """Octave-bucketed per-partition caps from per-partition unique
+    COUNTS: smallest 1024 * 2^k >= count — stationary traffic re-uses
+    one compiled program; caps >= counts by construction so the
     partitioned step's overflow flag can never fire for this batch."""
-    edges = np.searchsorted(u_sorted, np.asarray(bounds))
-    counts = np.diff(np.concatenate([[0], edges]))
     caps = []
     for c in counts:
         cap = 1024
@@ -99,6 +97,38 @@ def _partition_caps_octave(u_sorted: np.ndarray, bounds: tuple) -> tuple:
             cap <<= 1
         caps.append(int(cap))
     return tuple(caps)
+
+
+def _partition_caps_octave(u_sorted: np.ndarray, bounds: tuple) -> tuple:
+    """Octave caps from a batch's SORTED unique ids (numpy path)."""
+    edges = np.searchsorted(u_sorted, np.asarray(bounds))
+    counts = np.diff(np.concatenate([[0], edges]))
+    return _partition_caps_octave_counts(counts)
+
+
+def _partition_unique_counts(flat_ids: np.ndarray, mask_flat: np.ndarray,
+                             bounds: tuple):
+    """(n_unique, per-partition unique counts) for the partitioned
+    master's octave caps — ONE native hash-set pass
+    (csrc/plan_server.cpp lc_count_unique_ranges) when the library is
+    present; numpy sort-unique + searchsorted is the fallback and the
+    reference implementation (tests/test_plan_native.py pins equality).
+    Exists because the honest e2e production row measured the
+    per-batch np.unique(262k) on the Prefetcher thread as its
+    bottleneck (bench.py production_zipf_e2e_*)."""
+    try:
+        from ..data.native import count_unique_ranges_native
+
+        counts = count_unique_ranges_native(
+            flat_ids.astype(np.int64, copy=False), mask_flat, bounds)
+        if counts is not None:
+            return int(counts.sum()), counts
+    except Exception:
+        pass
+    u = np.unique(flat_ids[mask_flat > 0])
+    edges = np.searchsorted(u, np.asarray(bounds))
+    counts = np.diff(np.concatenate([[0], edges]))
+    return len(u), counts
 
 
 def _stream_epochs(ds, state, batch_size, epochs, seed, cap_mult, cap_max,
@@ -158,13 +188,13 @@ def _stream_epochs(ds, state, batch_size, epochs, seed, cap_mult, cap_max,
             else jnp.asarray(b[k])
             for k in keys)
         if part_bounds is not None:
-            # partitioned master: per-partition octave caps need the
-            # sorted unique set (Prefetcher thread, like the count)
+            # partitioned master: per-partition octave caps from ONE
+            # native hash-set pass (Prefetcher thread, like the count)
             flat = np.asarray(ids).reshape(-1)
             m = np.asarray(b["mask"]).reshape(-1)
-            u = np.unique(flat[m > 0])
-            cap = _capacity_octave(len(u), cap_mult, cap_max)
-            return (cap, _partition_caps_octave(u, part_bounds)), arrays
+            nu, counts = _partition_unique_counts(flat, m, part_bounds)
+            cap = _capacity_octave(nu, cap_mult, cap_max)
+            return (cap, _partition_caps_octave_counts(counts)), arrays
         nu = _count_unique(ids, b["mask"])        # Prefetcher thread
         return _capacity_octave(nu, cap_mult, cap_max), arrays
 

@@ -40,6 +40,17 @@ def test_cli_train_and_score(tiny_libffm, tmp_path, capsys):
     assert "auc" in out
     assert len(open(tmp_path / "preds.txt").readlines()) == 200
 
+    # --scan K: stacked-dispatch dataset scoring, same metrics + dump
+    main([
+        "score", "--model", "fm", "--factor", "4", "--test", tiny_libffm,
+        "--ckpt", ckpt, "--n-features", "50", "--n-fields", "5",
+        "--scan", "3", "--dump", str(tmp_path / "preds_scan.txt"),
+    ])
+    out_scan = capsys.readouterr().out
+    assert out_scan == out
+    assert (open(tmp_path / "preds_scan.txt").read()
+            == open(tmp_path / "preds.txt").read())
+
 
 def test_cli_train_kernel_engine(tiny_libffm, tmp_path, capsys):
     """--engine kernel: the fused Pallas trainers as the product path

@@ -289,3 +289,37 @@ def test_split_fused_core_matches_plain():
     np.testing.assert_allclose(np.asarray(st_f.packed),
                                np.asarray(st_p.packed),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fused_partitioned_binary_matches_general():
+    """The ids+labels-only binary fused step reproduces the general
+    fused partitioned step's trajectory on all-ones batches (the wire
+    carries 1/3 the bytes; the math must be identical)."""
+    V, capacity, b_pad = 4096, 4 * TILE, 128
+    caps = (256, 768, 2048)
+    cfg = fm_kernel.KernelFMConfig(
+        n_features=V, factor=4, learning_rate=0.2, l2=1e-4,
+        interpret=True, exact=True)
+    step_g = fm_kernel.make_streaming_train_step_fused_partitioned(
+        cfg, capacity, b_pad, BOUNDS, caps)
+    step_b = fm_kernel.make_streaming_train_step_fused_partitioned_binary(
+        cfg, capacity, b_pad, BOUNDS, caps)
+    st_g = fm_kernel.partition_streaming_state(
+        fm_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg), BOUNDS)
+    st_b = fm_kernel.partition_streaming_state(
+        fm_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg), BOUNDS)
+    for i in range(3):
+        ids, _, _, labels = _toy(seed=20 + i, zipfish=True)
+        ones = np.ones(ids.shape, np.float32)
+        (st_g, lg), ovg = step_g(
+            st_g, jnp.asarray(ids, jnp.int32), jnp.asarray(ones),
+            jnp.asarray(ones), jnp.asarray(labels),
+            jnp.ones((ids.shape[0],), jnp.float32))
+        (st_b, lb), ovb = step_b(
+            st_b, jnp.asarray(ids, jnp.int32), jnp.asarray(labels))
+        assert not bool(ovg) and not bool(ovb)
+        np.testing.assert_allclose(float(lb), float(lg), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(fm_kernel.departition_streaming_state(st_b).packed),
+        np.asarray(fm_kernel.departition_streaming_state(st_g).packed),
+        rtol=1e-6)

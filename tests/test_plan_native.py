@@ -224,3 +224,38 @@ def test_stale_library_auto_rebuild(tmp_path):
         assert out.returncode == 0, out.stderr
     finally:
         shutil.copy(backup, N._LIB_PATH)
+
+
+def test_count_unique_ranges_native_matches_numpy():
+    """lc_count_unique_ranges (one hash-set pass, range-binned) ==
+    numpy sort-unique + searchsorted, including masked-out positions
+    and repeated ids across partitions."""
+    import numpy as np
+
+    from lightctr_tpu.data.native import count_unique_ranges_native
+    from lightctr_tpu.train.kernel_engine import (
+        _partition_caps_octave,
+        _partition_caps_octave_counts,
+        _partition_unique_counts,
+    )
+
+    rng = np.random.default_rng(6)
+    n, V = 50_000, 100_000
+    ids = np.minimum(rng.zipf(1.3, n) - 1, V - 1).astype(np.int64)
+    valid = (rng.random(n) < 0.9).astype(np.float32)
+    bounds = (1_000, 10_000, V)
+
+    u = np.unique(ids[valid > 0])
+    edges = np.searchsorted(u, np.asarray(bounds))
+    counts_np = np.diff(np.concatenate([[0], edges]))
+
+    counts = count_unique_ranges_native(ids, valid, bounds)
+    if counts is not None:                 # no compiler -> numpy path
+        np.testing.assert_array_equal(counts, counts_np)
+        assert counts.sum() == len(u)
+
+    # the engine helper agrees with the pure-numpy caps on either path
+    nu, c2 = _partition_unique_counts(ids, valid, bounds)
+    assert nu == len(u)
+    assert (_partition_caps_octave_counts(c2)
+            == _partition_caps_octave(u, bounds))

@@ -294,3 +294,35 @@ def test_scan_scorer_matches_per_batch():
     for k in range(K):
         pk = np.asarray(per({key: v[k] for key, v in batches.items()}))
         np.testing.assert_allclose(p_scan[k], pk, rtol=1e-6)
+
+
+def test_batch_score_scan_matches_per_batch():
+    """batch_score(scan=K) — stacked-dispatch dataset scoring — returns
+    identical metrics and dump to per-batch scoring, including the
+    zero-filled partial final stack."""
+    import numpy as np
+    import jax
+
+    from lightctr_tpu.data.libffm import SparseDataset
+    from lightctr_tpu.models import ffm
+    from lightctr_tpu.serve.scorer import batch_score
+
+    rng = np.random.default_rng(11)
+    V, F, Kf, N, L = 2000, 5, 4, 310, 10   # 310 rows: partial batch AND
+    ids = rng.integers(0, V, (N, L)).astype(np.int64)  # partial stack
+    ds = SparseDataset(
+        ids=ids,
+        vals=np.ones((N, L), np.float32),
+        fields=(ids % F).astype(np.int64),
+        mask=np.ones((N, L), np.float32),
+        labels=rng.integers(0, 2, (N,)).astype(np.float32),
+        nnz=np.full((N,), L, np.int32),
+        n_features=V,
+        n_fields=F,
+    )
+    cfg = ffm.FFMConfig(n_features=V, n_fields=F, factor=Kf)
+    params = ffm.init(jax.random.PRNGKey(2), cfg)
+    m0 = batch_score(ffm, cfg, params, ds, batch_size=64)
+    m1 = batch_score(ffm, cfg, params, ds, batch_size=64, scan=3)
+    assert abs(m0["auc"] - m1["auc"]) < 1e-9
+    assert abs(m0["logloss"] - m1["logloss"]) < 1e-7
