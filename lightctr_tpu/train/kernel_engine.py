@@ -328,6 +328,19 @@ def train_fm_kernel(ds, factor=8, learning_rate=0.05, l2=0.0, epochs=5,
     if part_bounds is not None and len(part_bounds) < 2:
         part_bounds = None                       # vocab too small to split
 
+    # BINARY wire (r5): fixed-L all-ones datasets (standard binary-CTR
+    # traffic) whose epochs split into FULL batches ship ids+labels only
+    # — vals/mask/row_mask are synthesized in-graph
+    # (make_streaming_train_step_fused_partitioned_binary). The honest
+    # e2e production row measured this 2.0x the general wire on the
+    # tunneled stack (bench.py production_zipf_e2e_binary_*).
+    binary = (
+        part_bounds is not None
+        and len(ds) % batch_size == 0
+        and bool(np.all(np.asarray(ds.mask) == 1.0))
+        and bool(np.all(np.asarray(ds.vals) == 1.0))
+    )
+
     state = fm_kernel.streaming_init_packed(rng, cfg)
     if part_bounds is not None:
         state = fm_kernel.partition_streaming_state(state, part_bounds)
@@ -340,8 +353,12 @@ def train_fm_kernel(ds, factor=8, learning_rate=0.05, l2=0.0, epochs=5,
         if key not in steps:
             if isinstance(key, tuple):
                 cap, caps = key
-                inner = fm_kernel.make_streaming_train_step_fused_partitioned(
-                    cfg, cap, b_pad, part_bounds, caps)
+                maker = (
+                    fm_kernel
+                    .make_streaming_train_step_fused_partitioned_binary
+                    if binary else
+                    fm_kernel.make_streaming_train_step_fused_partitioned)
+                inner = maker(cfg, cap, b_pad, part_bounds, caps)
 
                 def run(state, *b, _inner=inner):
                     # caps are derived from each batch's true counts
@@ -357,7 +374,8 @@ def train_fm_kernel(ds, factor=8, learning_rate=0.05, l2=0.0, epochs=5,
 
     state, epoch_losses = _stream_epochs(
         ds, state, batch_size, epochs, seed, cap_mult, capacity, step_for,
-        keys=("ids", "vals", "mask", "labels", "row_mask"),
+        keys=(("ids", "labels") if binary
+              else ("ids", "vals", "mask", "labels", "row_mask")),
         int_keys=("ids",), log=log, part_bounds=part_bounds)
     if part_bounds is not None:
         state = fm_kernel.departition_streaming_state(state)

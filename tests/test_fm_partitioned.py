@@ -323,3 +323,71 @@ def test_fused_partitioned_binary_matches_general():
         np.asarray(fm_kernel.departition_streaming_state(st_b).packed),
         np.asarray(fm_kernel.departition_streaming_state(st_g).packed),
         rtol=1e-6)
+
+
+def test_engine_partitioned_binary_wire_matches_general(monkeypatch):
+    """On a fixed-L all-ones dataset with full batches, the engine's
+    partitioned path auto-selects the BINARY wire (ids+labels only) and
+    must reproduce the general partitioned trajectory."""
+    from lightctr_tpu.data.libffm import SparseDataset
+    from lightctr_tpu.train import kernel_engine
+
+    monkeypatch.setattr(kernel_engine, "EPOCH_SCAN_MAX_POSITIONS", 0)
+
+    rng = np.random.default_rng(3)
+    n, L, V = 256, 32, 70_000
+    ids = np.where(
+        rng.random((n, L)) < 0.5,
+        rng.integers(0, 64, (n, L)),
+        rng.integers(0, V, (n, L)),
+    ).astype(np.int32)
+    ds_bin = SparseDataset(
+        ids=ids, vals=np.ones((n, L), np.float32),
+        fields=np.zeros((n, L), np.int32),
+        mask=np.ones((n, L), np.float32),
+        labels=rng.integers(0, 2, (n,)).astype(np.float32),
+        nnz=np.full((n,), L, np.int32), n_features=V, n_fields=1)
+
+    kw = dict(factor=4, learning_rate=0.2, l2=1e-4, epochs=2,
+              batch_size=64, seed=0, exact=True, log=None,
+              partitioned=True)
+    # general wire, forced by breaking the binary gate (mask-with-zeros
+    # datasets use the general step)
+    calls = []
+    orig = kernel_engine.fm_kernel.make_streaming_train_step_fused_partitioned_binary
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(
+        kernel_engine.fm_kernel,
+        "make_streaming_train_step_fused_partitioned_binary", spy)
+    params_b, losses_b = kernel_engine.train_fm_kernel(ds_bin, **kw)
+    assert calls, "binary gate did not fire on an all-ones dataset"
+
+    # the same batches through the GENERAL wire: break the gate with a
+    # numpy proxy whose .all() is False inside kernel_engine only
+    import types
+
+    class _NoAll(types.ModuleType):
+        def __getattr__(self, name):
+            if name == "all":
+                return lambda *a, **k: False
+            return getattr(np, name)
+
+    calls.clear()
+
+    def no_binary(*a, **k):
+        raise AssertionError("binary step built after gate monkeypatch")
+
+    monkeypatch.setattr(
+        kernel_engine.fm_kernel,
+        "make_streaming_train_step_fused_partitioned_binary", no_binary)
+    monkeypatch.setattr(kernel_engine, "np", _NoAll("np_noall"))
+    params_gen, losses_gen = kernel_engine.train_fm_kernel(ds_bin, **kw)
+
+    np.testing.assert_allclose(losses_b, losses_gen, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(params_b["v"]),
+                               np.asarray(params_gen["v"]),
+                               rtol=1e-5, atol=5e-6)
