@@ -158,6 +158,13 @@ def main():
 
     variants = [("fine", dataclasses.replace(cfg, fine=True), True)]
     if os.environ.get("DECOMP_TRAFFIC") != "uniform":
+        # r5: fine_tile=1024/nwin=10 halves the grid slots per sweep —
+        # the fine core is Mosaic slot-overhead-bound (~5.8 us/slot)
+        variants += [
+            ("finewide", dataclasses.replace(
+                cfg, fine=True, fine_tile=1024, fine_nwin=10), True),
+        ]
+    if os.environ.get("DECOMP_TRAFFIC") != "uniform":
         # uniform capacity ~262k: xmat's count matrix is ~4.3 GB and the
         # fused kernel's b_pad=4096 blocks crash the Mosaic compiler
         # (bench_fused_probe.py receipts) — zipf-only variants
@@ -169,7 +176,9 @@ def main():
             ("splitfused", dataclasses.replace(cfg, fused=True), False),
         ]
     for vname, vcfg, vfine in variants:
-        vplan = fm_kernel.plan_batch(ids, ones, ones, labels, fine=vfine)
+        vplan = fm_kernel.plan_batch(
+            ids, ones, ones, labels, fine=vfine,
+            fine_tile=vcfg.fine_tile, fine_nwin=vcfg.fine_nwin)
         vcap = vplan.n_rows_pad
         to_arrays = (fm_kernel.plan_to_arrays_split
                      if vname == "splitfused" else fm_kernel.plan_to_arrays)

@@ -68,8 +68,17 @@ class KernelFMConfig:
     # (ops/embedding_pallas.blocked_*_fine): ~37% fewer one-hot MACs,
     # measured +3% step time on v5e with exact-identical losses
     # (benchmarks/bench_fine_windows.py). Needs a plan built with
-    # plan_batch(..., fine=True) (n_rows_pad % 640 == 0).
+    # plan_batch(..., fine=True) (n_rows_pad % (fine_nwin*128) == 0).
     fine: bool = False
+    # fine window geometry: fine_tile positions per grid slot with an
+    # fine_nwin x 128-row rank window. The production fine core is
+    # Mosaic GRID-SLOT-overhead-bound (~5.8 us/slot, PARITY.md), so
+    # fine_tile=1024/fine_nwin=10 HALVES the slot count per sweep (the
+    # window must cover a tile's rank span: dense ranks advance <= 1
+    # per position, so nwin >= tile/128 + 1). Needs a plan built with
+    # the same fine_tile/fine_nwin and positions % fine_tile == 0.
+    fine_tile: int = 512
+    fine_nwin: int = 5
     # row_width: packed row layout is [w | v(factor) | pad]. The Pallas
     # kernel family is compiled at D=16 (factor <= 15, ops/fm_fused_pallas
     # K.D); wider factors (the reference's vs_libfm goes to k=64) run on
@@ -126,7 +135,8 @@ class BatchPlan:
 
 
 def plan_batch(ids, vals, mask, labels, row_mask=None, n_rows_pad=None,
-               trim=None, fine=False) -> BatchPlan:
+               trim=None, fine=False, fine_tile: int = TILE,
+               fine_nwin: int = 5) -> BatchPlan:
     """Host-side batch planning. ids/vals/mask: [B, L] numpy.
 
     trim: drop the masked tail of the sorted position arrays (see
@@ -135,15 +145,21 @@ def plan_batch(ids, vals, mask, labels, row_mask=None, n_rows_pad=None,
     (streaming plans must keep batch-independent static shapes).
 
     fine: also emit WTILE-unit window bases (tile_base_fine) and size the
-    rank space for the 5x128-window kernels (cfg.fine=True)."""
+    rank space for the fine_nwin x 128-window kernels (cfg.fine=True);
+    fine_tile/fine_nwin must match the consuming config
+    (KernelFMConfig.fine_tile docstring has the coverage rule)."""
     B, L = ids.shape
     if trim is None:
         trim = n_rows_pad is None
     if row_mask is None:
         row_mask = np.ones((B,), np.float32)
+    assert fine_nwin * WTILE >= fine_tile + WTILE, (
+        f"window {fine_nwin}x{WTILE} cannot cover a {fine_tile}-position "
+        f"tile's rank span")
     xv = (vals * mask).astype(np.float32)
-    plan = plan_sorted_layout(ids, mask, n_rows_pad, trim=trim,
-                              n_rows_multiple=5 * WTILE if fine else None)
+    plan = plan_sorted_layout(
+        ids, mask, n_rows_pad, trim=trim,
+        n_rows_multiple=fine_nwin * WTILE if fine else None)
     perm = plan["perm"]
     rowid_sorted = (perm // L).astype(np.int32)
     # batch padding: lane-aligned
@@ -152,9 +168,15 @@ def plan_batch(ids, vals, mask, labels, row_mask=None, n_rows_pad=None,
     tbf = None
     if fine:
         R = plan["n_rows_pad"]
-        assert R % (5 * WTILE) == 0, f"fine plan needs R%640==0, got {R}"
+        assert R % (fine_nwin * WTILE) == 0, (
+            f"fine plan needs R % {fine_nwin * WTILE} == 0, got {R}")
+        n_pos = plan["ranks_sorted"].shape[0]
+        assert n_pos % fine_tile == 0, (
+            f"fine_tile={fine_tile} needs positions % {fine_tile} == 0, "
+            f"got {n_pos}")
         tbf = jnp.asarray(np.minimum(
-            plan["ranks_sorted"][::TILE] // WTILE, R // WTILE - 5
+            plan["ranks_sorted"][::fine_tile] // WTILE,
+            R // WTILE - fine_nwin
         ).astype(np.int32))
     return BatchPlan(
         ranks_sorted=jnp.asarray(plan["ranks_sorted"]),
@@ -200,7 +222,8 @@ def kernel_forward(cfg, rows, ranks_sorted, rowid_sorted, xv_sorted,
     if cfg.fine:
         return K.fm_forward_fine(
             rows, ranks_sorted, rowid_sorted, xv_sorted, tile_base_fine,
-            n_k=cfg.factor, b_pad=b_pad, n_win=5, interpret=cfg.interpret,
+            n_k=cfg.factor, b_pad=b_pad, n_win=getattr(cfg, "fine_nwin", 5),
+            tile=getattr(cfg, "fine_tile", TILE), interpret=cfg.interpret,
             exact=cfg.exact,
         )
     return K.fm_forward(
@@ -218,7 +241,9 @@ def kernel_backward(cfg, rowid_sorted, xv_sorted, e_pos, duals, ranks_sorted,
         return K.fm_backward_scatter_fine(
             rowid_sorted, xv_sorted, e_pos, duals, ranks_sorted,
             tile_base_fine, n_k=cfg.factor, b_pad=b_pad, n_rows=n_rows,
-            n_win=5, interpret=cfg.interpret, exact=cfg.exact,
+            n_win=getattr(cfg, "fine_nwin", 5),
+            tile=getattr(cfg, "fine_tile", TILE),
+            interpret=cfg.interpret, exact=cfg.exact,
         )
     dwv_pos = K.fm_backward_positions(
         rowid_sorted, xv_sorted, e_pos, duals, n_k=cfg.factor, b_pad=b_pad,
@@ -845,8 +870,9 @@ def make_streaming_train_step(cfg: KernelFMConfig, capacity: int, b_pad: int):
     n_k = cfg.factor
     R = capacity
     if cfg.fine:
-        assert R % (5 * WTILE) == 0, (
-            f"cfg.fine streaming needs capacity % 640 == 0, got {R}"
+        assert R % (cfg.fine_nwin * WTILE) == 0, (
+            f"cfg.fine streaming needs capacity % "
+            f"{cfg.fine_nwin * WTILE} == 0, got {R}"
         )
 
     # donate_argnums: the vocab-space master tables update in place —
@@ -1072,8 +1098,9 @@ def make_streaming_train_step_packed(cfg: KernelFMConfig, capacity: int,
     unpacked scatter-add because uids are unique."""
     R = capacity
     if cfg.fine:
-        assert R % (5 * WTILE) == 0, (
-            f"cfg.fine streaming needs capacity % 640 == 0, got {R}"
+        assert R % (cfg.fine_nwin * WTILE) == 0, (
+            f"cfg.fine streaming needs capacity % "
+            f"{cfg.fine_nwin * WTILE} == 0, got {R}"
         )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -1251,7 +1278,7 @@ def make_streaming_train_step_partitioned(cfg: KernelFMConfig,
     R = capacity
     assert len(bounds) == len(caps) and bounds[-1] == cfg.n_features
     if cfg.fine:
-        assert R % (5 * WTILE) == 0
+        assert R % (cfg.fine_nwin * WTILE) == 0
     pull, push = make_partitioned_pull_push(cfg.n_features, R, bounds, caps)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -1281,6 +1308,9 @@ def make_streaming_train_step_fused_partitioned(
     ((state, loss), overflow)."""
     assert cfg.n_features < 2**31 - 1, (
         "device planner is int32 with INT32_MAX as the pad sentinel")
+    assert not cfg.fine or (cfg.fine_tile == TILE and cfg.fine_nwin == 5), (
+        "plan_batch_on_device emits 512-stride/5-window tile bases; "
+        "custom fine_tile/fine_nwin need host plans (plan_batch)")
     inner = make_streaming_train_step_partitioned(cfg, capacity, b_pad,
                                                   bounds, caps)
     inner_raw = inner.__wrapped__
@@ -1311,6 +1341,9 @@ def make_streaming_train_step_fused_partitioned_binary(
     (tests/test_fm_partitioned.py)."""
     assert cfg.n_features < 2**31 - 1, (
         "device planner is int32 with INT32_MAX as the pad sentinel")
+    assert not cfg.fine or (cfg.fine_tile == TILE and cfg.fine_nwin == 5), (
+        "plan_batch_on_device emits 512-stride/5-window tile bases; "
+        "custom fine_tile/fine_nwin need host plans (plan_batch)")
     inner = make_streaming_train_step_partitioned(cfg, capacity, b_pad,
                                                   bounds, caps)
     inner_raw = inner.__wrapped__
@@ -1342,6 +1375,9 @@ def make_streaming_train_step_fused(cfg: KernelFMConfig, capacity: int,
         f"device planner is int32 with INT32_MAX as the pad sentinel; "
         f"n_features={cfg.n_features} would silently wrap/collide "
         f"(use host plan_batch, which is int64, beyond 2**31-2)")
+    assert not cfg.fine or (cfg.fine_tile == TILE and cfg.fine_nwin == 5), (
+        "plan_batch_on_device emits 512-stride/5-window tile bases; "
+        "custom fine_tile/fine_nwin need host plans (plan_batch)")
     inner = make_streaming_train_step_packed(cfg, capacity, b_pad)
     # trace through the jitted wrappers (their donation marks don't apply
     # inside an outer jit); donation lives on THIS boundary instead

@@ -163,3 +163,47 @@ def test_streaming_nfm_fused_matches_separate():
     np.testing.assert_allclose(np.asarray(state_f.table),
                                np.asarray(state_s.table),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_fine_tile1024_matches_default_windows():
+    """fine_tile=1024/fine_nwin=10 (half the Mosaic grid slots per
+    sweep) reproduces the default 512/5 fine trajectory exactly — the
+    window-coverage rule (nwin*128 >= tile+128) holds by construction
+    for dense rank spaces."""
+    V, capacity, b_pad = 900, 5120, 128
+    B, L = 16, 64                       # 1024 positions: % fine_tile == 0
+    batches = []
+    rng = np.random.default_rng(5)
+    for seed in range(3):
+        ids = np.minimum(rng.integers(0, V, (B, L)), V - 1).astype(np.int64)
+        vals = rng.random((B, L)).astype(np.float32)
+        mask = np.ones((B, L), np.float32)
+        labels = rng.integers(0, 2, (B,)).astype(np.float32)
+        batches.append((ids, vals, mask, labels))
+
+    trajs = {}
+    for name, tile, nwin in (("default", 512, 5), ("wide", 1024, 10)):
+        cfg = fm_kernel.KernelFMConfig(
+            n_features=V, factor=4, learning_rate=0.1,
+            interpret=True, exact=True, fine=True, fine_tile=tile,
+            fine_nwin=nwin,
+        )
+        state = fm_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg)
+        step = fm_kernel.make_streaming_train_step_packed(
+            cfg, capacity, b_pad)
+        traj = []
+        for ids, vals, mask, labels in batches:
+            plan = fm_kernel.plan_batch(
+                ids, vals, mask, labels, n_rows_pad=capacity, fine=True,
+                fine_tile=tile, fine_nwin=nwin)
+            arrays = fm_kernel.plan_to_arrays(plan, capacity)
+            state, loss = step(state, arrays)
+            traj.append(float(loss))
+        trajs[name] = (traj, np.asarray(state.packed))
+    np.testing.assert_allclose(trajs["wide"][0], trajs["default"][0],
+                               rtol=1e-6)
+    # cross-geometry reduction-order ulps (the residue scatter sums the
+    # same contributions in different block groupings) amplified through
+    # Adagrad's 1/sqrt — same tolerance class as the partitioned tests
+    np.testing.assert_allclose(trajs["wide"][1], trajs["default"][1],
+                               rtol=1e-4, atol=1e-5)
