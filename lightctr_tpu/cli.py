@@ -268,11 +268,12 @@ def main(argv=None):
             if args.model not in ("fm", "nfm", "ffm"):
                 raise SystemExit(
                     f"--engine kernel supports fm/nfm/ffm, not {args.model}")
-            if args.partitioned and (args.model != "fm" or args.mesh):
+            if args.partitioned and (args.model not in ("fm", "nfm")
+                                     or args.mesh):
                 raise SystemExit(
-                    "--partitioned is the single-chip kernel FM "
-                    "streaming master layout (use --model fm without "
-                    "--mesh)")
+                    "--partitioned is the single-chip kernel FM/NFM "
+                    "streaming master layout (use --model fm|nfm "
+                    "without --mesh)")
             from .train.kernel_engine import KERNEL_ENGINES
             from .train.loop import evaluate
 
@@ -294,7 +295,8 @@ def main(argv=None):
                                           else "adagrad"))
             elif args.model == "nfm":
                 hidden = tuple(int(h) for h in args.hidden.split(",") if h)
-                kw.update(batch_size=args.batch_size, hidden=hidden)
+                kw.update(batch_size=args.batch_size, hidden=hidden,
+                          partitioned=args.partitioned)
             elif args.model == "ffm" and args.stream:
                 kw.update(batch_size=args.batch_size)
             params, _ = KERNEL_ENGINES[args.model](train_ds, **kw)

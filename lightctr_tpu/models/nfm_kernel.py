@@ -548,6 +548,34 @@ def make_streaming_train_step_partitioned(cfg: KernelNFMConfig,
     return step
 
 
+def make_streaming_train_step_fused_partitioned(cfg: KernelNFMConfig,
+                                                capacity: int, b_pad: int,
+                                                bounds: tuple, caps: tuple):
+    """ONE-dispatch streaming NFM step on RAW [B, L] batches against the
+    range-PARTITIONED master: the device planner is traced into the
+    partitioned step (fm_kernel.make_streaming_train_step_fused_partitioned
+    composition applied to the NFM core). Returns
+    step(state, ids, vals, mask, labels, row_mask, hyper) ->
+    ((state, loss), overflow)."""
+    from .fm_kernel import plan_batch_on_device
+
+    assert cfg.n_features < 2**31 - 1, (
+        "device planner is int32 with INT32_MAX as the pad sentinel")
+    inner = make_streaming_train_step_partitioned(cfg, capacity, b_pad,
+                                                  bounds, caps)
+    inner_raw = inner.__wrapped__
+    plan_raw = plan_batch_on_device.__wrapped__
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: StreamingNFMStatePartitioned, ids, vals, mask, labels,
+             row_mask, hyper=None):
+        b = plan_raw(ids, vals, mask, labels, row_mask,
+                     capacity=capacity, b_pad=b_pad, n_pad_multiple=None)
+        return inner_raw(state, b, hyper)
+
+    return step
+
+
 def make_streaming_train_step_fused(cfg: KernelNFMConfig, capacity: int,
                                     b_pad: int):
     """ONE-dispatch streaming NFM step on raw [B, L] batches: the device

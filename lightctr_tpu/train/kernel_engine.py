@@ -496,13 +496,17 @@ def train_nfm_kernel(ds, factor=8, hidden=(64,), learning_rate=0.05,
                      mlp_learning_rate=1e-3, l2=0.0, epochs=5,
                      batch_size=256, seed=0, exact=True, log=print,
                      fine=True, xmat=True, mesh=None, wire="f32",
-                     activation="relu", mlp_optimizer="adam"):
+                     activation="relu", mlp_optimizer="adam",
+                     partitioned=False):
     """-> (params dict {w0,w,v,mlp} for models/nfm, per-epoch losses).
 
     Full-batch (batch_size >= rows) runs the design-matrix step
     (xmat=True, see train_fm_kernel); minibatches stream through the
     fine-window kernels. mesh: model-axis-sharded streaming trainer
-    (tables sharded, MLP tower replicated in lockstep)."""
+    (tables sharded, MLP tower replicated in lockstep).
+    partitioned: range-PARTITIONED packed master (the FM production
+    path generalised — nfm_kernel.make_streaming_train_step_partitioned,
+    468.8k ex/s at the 10M-vocab zipf regime, PARITY.md)."""
     if mesh is not None:
         return _train_nfm_kernel_sharded(
             ds, mesh, factor=factor, hidden=tuple(hidden),
@@ -538,23 +542,45 @@ def train_nfm_kernel(ds, factor=8, hidden=(64,), learning_rate=0.05,
 
     batch_size = min(batch_size, len(ds))
     capacity, b_pad = _streaming_dims(ds, batch_size, fine=fine)
-    state = nfm_kernel.streaming_init(rng, cfg)
+    part_bounds = _partition_bounds(ds.n_features) if partitioned else None
+    if part_bounds is not None and len(part_bounds) < 2:
+        part_bounds = None                       # vocab too small to split
+    if part_bounds is not None:
+        state = nfm_kernel.partition_streaming_state(
+            nfm_kernel.streaming_init_packed(rng, cfg), part_bounds)
+    else:
+        state = nfm_kernel.streaming_init(rng, cfg)
     # fused ONE-dispatch step: planning traced into the train step (see
     # train_fm_kernel); the Prefetcher stages transfers only. Capacity
     # picks per-batch octaves (_capacity_octave).
     cap_mult = 5120 if cfg.fine else 2 * TILE
     steps: dict = {}
 
-    def step_for(cap):
-        if cap not in steps:
-            steps[cap] = nfm_kernel.make_streaming_train_step_fused(
-                cfg, cap, b_pad)
-        return steps[cap]
+    def step_for(key):
+        if key not in steps:
+            if isinstance(key, tuple):
+                cap, caps = key
+                inner = nfm_kernel.make_streaming_train_step_fused_partitioned(
+                    cfg, cap, b_pad, part_bounds, caps)
+
+                def run(state, *b, _inner=inner):
+                    # caps from each batch's true counts: no overflow
+                    (state, loss), _overflow = _inner(state, *b)
+                    return state, loss
+
+                steps[key] = run
+            else:
+                steps[key] = nfm_kernel.make_streaming_train_step_fused(
+                    cfg, key, b_pad)
+        return steps[key]
 
     state, epoch_losses = _stream_epochs(
         ds, state, batch_size, epochs, seed, cap_mult, capacity, step_for,
         keys=("ids", "vals", "mask", "labels", "row_mask"),
-        int_keys=("ids",), log=log)
+        int_keys=("ids",), log=log, part_bounds=part_bounds)
+    if part_bounds is not None:
+        state = nfm_kernel.unpack_streaming_state(
+            nfm_kernel.departition_streaming_state(state))
     return nfm_kernel.export_streaming_params(state, cfg), epoch_losses
 
 

@@ -231,3 +231,70 @@ def test_nfm_packed_and_partitioned_match_unpacked():
         bounds)
     (_, _), ovf = step_t(state_t, batches[0])
     assert bool(ovf)
+
+
+def test_nfm_fused_partitioned_matches_fused():
+    """The one-dispatch NFM partitioned step (device planner traced in)
+    reproduces the fused packed-master trajectory."""
+    V, capacity, b_pad = 4096, 2048, 128
+    bounds = (256, 1024, V)
+    caps = (256, 768, 2048)
+    cfg = nfm_kernel.KernelNFMConfig(
+        n_features=V, factor=4, hidden=(8,), learning_rate=0.1,
+        interpret=True, exact=True)
+    step_f = nfm_kernel.make_streaming_train_step_fused(cfg, capacity,
+                                                        b_pad)
+    step_q = nfm_kernel.make_streaming_train_step_fused_partitioned(
+        cfg, capacity, b_pad, bounds, caps)
+    st_f = nfm_kernel.streaming_init(jax.random.PRNGKey(0), cfg)
+    st_q = nfm_kernel.partition_streaming_state(
+        nfm_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg),
+        bounds)
+    for i in range(3):
+        ids, vals, mask, labels = _toy_batch(seed=30 + i, B=8, L=64, V=V)
+        args = (jnp.asarray(ids, jnp.int32), jnp.asarray(vals),
+                jnp.asarray(mask), jnp.asarray(labels),
+                jnp.ones((8,), jnp.float32))
+        st_f, lf = step_f(st_f, *args)
+        (st_q, lq), ov = step_q(st_q, *args)
+        assert not bool(ov)
+        np.testing.assert_allclose(float(lq), float(lf), rtol=1e-6)
+    merged = nfm_kernel.unpack_streaming_state(
+        nfm_kernel.departition_streaming_state(st_q))
+    np.testing.assert_allclose(np.asarray(merged.table),
+                               np.asarray(st_f.table),
+                               rtol=1e-5, atol=5e-6)
+
+
+def test_engine_nfm_partitioned_matches_default(monkeypatch):
+    """train_nfm_kernel(partitioned=True) reproduces the default
+    streaming engine's loss trajectory (same shuffling; epoch-scan
+    forced off so both stream per batch)."""
+    from lightctr_tpu.data.libffm import SparseDataset
+    from lightctr_tpu.train import kernel_engine
+
+    monkeypatch.setattr(kernel_engine, "EPOCH_SCAN_MAX_POSITIONS", 0)
+
+    rng = np.random.default_rng(1)
+    n, L, V = 256, 32, 70_000
+    ids = np.where(
+        rng.random((n, L)) < 0.5,
+        rng.integers(0, 64, (n, L)),
+        rng.integers(0, V, (n, L)),
+    ).astype(np.int32)
+    mask = (rng.random((n, L)) > 0.1).astype(np.float32)
+    ds = SparseDataset(
+        ids=ids, vals=np.ones((n, L), np.float32),
+        fields=np.zeros((n, L), np.int32), mask=mask,
+        labels=rng.integers(0, 2, (n,)).astype(np.float32),
+        nnz=mask.sum(1).astype(np.int32), n_features=V, n_fields=1)
+
+    kw = dict(factor=4, hidden=(8,), learning_rate=0.1, l2=1e-4,
+              epochs=2, batch_size=64, seed=0, exact=True, log=None)
+    params_d, losses_d = kernel_engine.train_nfm_kernel(ds, **kw)
+    params_q, losses_q = kernel_engine.train_nfm_kernel(
+        ds, partitioned=True, **kw)
+    np.testing.assert_allclose(losses_q, losses_d, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(params_q["v"]),
+                               np.asarray(params_d["v"]),
+                               rtol=1e-5, atol=5e-6)
