@@ -185,14 +185,17 @@ def main():
     # per-dispatch fixed cost that dominates the single-batch rows.
     from lightctr_tpu.serve.scorer import make_scan_scorer
 
-    Kb = 8
     scan_jobs = [
-        ("fm_scan8", fm, fm.FMConfig(n_features=vocab, factor=8)),
-        ("ffm_scan8", ffm, ffm_cfg),
+        ("fm_scan8", fm, fm.FMConfig(n_features=vocab, factor=8), 8),
+        ("ffm_scan8", ffm, ffm_cfg, 8),
         ("nfm_scan8", nfm, nfm.NFMConfig(n_features=vocab, factor=8,
-                                         hidden=(64,))),
+                                         hidden=(64,)), 8),
+        # K=32: the dispatch-amortisation asymptote (per-batch fixed
+        # cost /32; batch staging is 32 x ~4.3 MB device-resident)
+        ("fm_scan32", fm, fm.FMConfig(n_features=vocab, factor=8), 32),
+        ("ffm_scan32", ffm, ffm_cfg, 32),
     ]
-    for name, mod, cfg in scan_jobs:
+    for name, mod, cfg, Kb in scan_jobs:
         if only and name not in only.split(","):
             continue
         B = 4096
