@@ -148,6 +148,13 @@ def main():
         q = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
         s, ids = serve(items, w_item, v_item, q, 0.0)
         float(s)
+        # settle: the first iterations after compile pay first-touch of
+        # the catalogue arrays inside the program (measured 15x steady
+        # state at 10M — PARITY.md two-stage warm-up note)
+        acc0 = 0.0
+        for _ in range(5):
+            acc0, _ = serve(items, w_item, v_item, q, acc0)
+        float(acc0)
         t0 = time.perf_counter()
         acc = 0.0
         n = 50 if B <= 256 else 20
