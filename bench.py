@@ -246,6 +246,66 @@ def production_main():
             dtnq * 1e3, 3)
         del nstate, nstate_q
 
+        # W&D at the production regime (r5): the deep tower's per-field
+        # sums make the flat-agg count matrix [B*F, R], so B=1024 is
+        # the feasible production batch at F=68 (NEXT_STEPS shape math;
+        # models/widedeep_kernel.py — reference analogue:
+        # distributed_algo_abst.h:106-117, the PS cluster's model).
+        import jax.numpy as jnp
+
+        from lightctr_tpu.models import ffm_kernel, widedeep_kernel
+
+        Bw, Fw = 1024, 68
+        idsw = np.minimum(rng.zipf(1.2, (Bw, L)) - 1,
+                          vocab - 1).astype(np.int32)
+        nu_w = len(np.unique(idsw))
+        cap_w = int(np.ceil((nu_w + 513) / 1024) * 1024)
+        ones_w = np.ones((Bw, L), np.float32)
+        wcfg = widedeep_kernel.KernelWDConfig(
+            n_features=vocab, n_fields=Fw, embed_dim=4, hidden=(50,),
+            learning_rate=0.05, exact=False)
+        b_w = ffm_kernel.plan_batch_on_device(
+            jnp.asarray(idsw), jnp.asarray(ones_w), jnp.asarray(ones_w),
+            jnp.asarray((idsw % Fw).astype(np.int32)),
+            jnp.asarray(rng.integers(0, 2, (Bw,)).astype(np.float32)),
+            jnp.asarray(np.ones((Bw,), np.float32)), capacity=cap_w)
+        wstate = widedeep_kernel.streaming_init_packed(
+            jax.random.PRNGKey(0), wcfg)
+        wstep = widedeep_kernel.make_streaming_train_step_packed(
+            wcfg, cap_w)
+        wstate, loss = wstep(wstate, b_w)
+        float(loss)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            wstate, loss = wstep(wstate, b_w)
+        float(loss)
+        dtw = (time.perf_counter() - t0) / n
+        out[f"production_widedeep_{name}examples_per_sec"] = round(
+            Bw / dtw, 1)
+        out[f"production_widedeep_{name}step_ms"] = round(dtw * 1e3, 3)
+
+        caps_w = fm_kernel.partition_caps_for(
+            np.asarray(b_w["uids"]).astype(np.int64),
+            int(b_w["n_unique"]), bounds)
+        wstate_q = widedeep_kernel.partition_streaming_state(
+            widedeep_kernel.streaming_init_packed(
+                jax.random.PRNGKey(0), wcfg), bounds)
+        wstep_q = widedeep_kernel.make_streaming_train_step_partitioned(
+            wcfg, cap_w, bounds, caps_w)
+        (wstate_q, loss), overflow = wstep_q(wstate_q, b_w)
+        assert not bool(overflow), (caps_w, "W&D partition caps overflow")
+        float(loss)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            (wstate_q, loss), overflow = wstep_q(wstate_q, b_w)
+        float(loss)
+        dtwq = (time.perf_counter() - t0) / n
+        out[f"production_widedeep_{name}partitioned_examples_per_sec"] = \
+            round(Bw / dtwq, 1)
+        out[f"production_widedeep_{name}partitioned_step_ms"] = round(
+            dtwq * 1e3, 3)
+        del wstate, wstate_q
+
         # ---- HONEST end-to-end row (r5, VERDICT r4 weak #3 / next #4):
         # 100 DISTINCT zipf batches through the ENGINE's fused
         # partitioned path (device planner traced into the step,
