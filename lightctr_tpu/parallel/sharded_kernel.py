@@ -1124,3 +1124,134 @@ def make_grouped_sharded_ffm_step(cfg, gplan, mesh: Mesh,
     step._stepfn = raw_step
     step._consts = consts
     return step
+
+
+# ---------------------------------------------------------------------------
+# Sharded streaming Wide&Deep (r5): the reference's PS-mode flagship
+# (distributed_algo_abst.h:106-117) as a shard_map twin of
+# widedeep_kernel.make_streaming_train_step_packed — the packed [V, 32]
+# master row-sharded over `model` (owned-rows pull/psum + server-side
+# Adagrad push), the dense tower replicated in deterministic lockstep
+# like the NFM twin.
+
+
+def shard_streaming_wd_state(state, mesh: Mesh):
+    """widedeep_kernel.StreamingWDStatePacked with the packed master
+    row-sharded over `model`; tower + scalars replicated."""
+    from ..models.widedeep_kernel import StreamingWDStatePacked
+
+    table_sh = NamedSharding(mesh, P("model", None))
+    rep = NamedSharding(mesh, P())
+    return StreamingWDStatePacked(
+        w0=jax.device_put(state.w0, rep),
+        w0_accum=jax.device_put(state.w0_accum, rep),
+        packed=jax.device_put(state.packed, table_sh),
+        mlp=jax.device_put(state.mlp, rep),
+        mlp_opt=jax.device_put(state.mlp_opt, rep),
+    )
+
+
+def make_sharded_streaming_wd_step(cfg, capacity: int, mesh: Mesh,
+                                   wire: str = "f32"):
+    """Sharded twin of widedeep_kernel.make_streaming_train_step_packed:
+    owned-rows pull + wire_psum assembles the replicated [R, 16] rank
+    rows, the flat-agg core (S = C @ [w|v] + tower) runs replicated,
+    and each shard applies the server-side Adagrad to its own rows of
+    the packed master. Batch dict from ffm_kernel.plan_batch_on_device
+    (it carries fields). cfg: widedeep_kernel.KernelWDConfig."""
+    from .. import optim
+    from ..models import ffm_kernel
+    from ..models.widedeep_kernel import (
+        StreamingWDStatePacked,
+        _logits_from_rank,
+    )
+
+    wd = WIRE_DTYPES[wire]
+    R = capacity
+    D = K.D
+    M = mesh.shape["model"]
+    V = cfg.n_features
+    assert V % M == 0, (
+        f"vocab {V} not divisible by model axis {M}; round with "
+        f"parallel.sharding.round_up_vocab(n, {M})"
+    )
+    rows_per_shard = V // M
+    tx = optim.adam(cfg.mlp_learning_rate)
+    cdt = jnp.float32 if cfg.exact else jnp.bfloat16
+
+    def local_step(packed_l, w0, w0_accum, mlp, mlp_opt, b, hyper):
+        lr, l2 = hyper[0], hyper[1]
+        uids = b["uids"]
+        n_unique = b["n_unique"]
+
+        shard = jax.lax.axis_index("model")
+        offset = shard * rows_per_shard
+        local = uids - offset
+        in_range = (local >= 0) & (local < rows_per_shard)
+        safe = jnp.clip(local, 0, rows_per_shard - 1)
+        rows = jnp.where(in_range[:, None], packed_l[safe, :D], 0.0)
+        rows = wire_psum(rows, "model", wd)
+        rows = rows.at[R - 1].set(0.0)
+
+        B, L = b["xv"].shape
+        C = ffm_kernel.count_matrix(b["ranks"], b["fields"], b["xv"], R,
+                                    cfg.n_fields, cdt)
+        n_valid = jnp.maximum(jnp.sum(b["row_mask"]), 1.0)
+
+        def loss_fn(rows, w0, mlp):
+            z = _logits_from_rank(cfg, rows, w0, mlp, C, B)
+            per = (jnp.maximum(z, 0) - z * b["labels"]
+                   + jnp.log1p(jnp.exp(-jnp.abs(z))))
+            return jnp.sum(per * b["row_mask"]) / n_valid
+
+        loss, (g_rows, g0, d_mlp) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2))(rows, w0, mlp)
+        g_rows = g_rows + l2 * rows
+
+        pos = jnp.arange(R)
+        m = (pos < n_unique).astype(jnp.float32)[:, None]
+        g = g_rows * m
+        acc_rows = jnp.where(in_range[:, None],
+                             packed_l[safe, D:], 0.0) + g * g
+        rows_new = rows - lr * g / (jnp.sqrt(acc_rows) + 1e-7)
+        own = in_range & (pos < n_unique)
+        scatter_idx = jnp.where(own, safe, rows_per_shard)
+        packed_l = packed_l.at[scatter_idx].set(
+            jnp.concatenate([rows_new, acc_rows], axis=1), mode="drop")
+
+        mlp_updates, mlp_opt = tx.update(d_mlp, mlp_opt, mlp)
+        mlp = optim.apply_updates(mlp, mlp_updates)
+
+        w0_accum = w0_accum + g0 * g0
+        w0 = w0 - lr * g0 / (jnp.sqrt(w0_accum) + 1e-7)
+        return packed_l, w0, w0_accum, mlp, mlp_opt, loss
+
+    table_spec = P("model", None)
+    rep = P()
+    batch_specs = {
+        "uids": rep, "n_unique": rep, "ranks": rep, "xv": rep,
+        "fields": rep, "labels": rep, "row_mask": rep,
+    }
+    mapped = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(table_spec, rep, rep, rep, rep, batch_specs, rep),
+        out_specs=(table_spec, rep, rep, rep, rep, rep),
+        check_rep=False,
+    )
+
+    default_hyper = jnp.asarray([cfg.learning_rate, cfg.l2], jnp.float32)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, b: dict, hyper=None):
+        from ..models.widedeep_kernel import StreamingWDStatePacked
+
+        h = default_hyper if hyper is None else hyper
+        packed, w0, w0_accum, mlp, mlp_opt, loss = mapped(
+            state.packed, state.w0, state.w0_accum, state.mlp,
+            state.mlp_opt, b, h,
+        )
+        return StreamingWDStatePacked(w0, w0_accum, packed, mlp,
+                                      mlp_opt), loss
+
+    return step

@@ -504,3 +504,53 @@ def test_dp_sharded_streaming_ffm_matches_single_device():
         t1 = np.asarray(state_1.table)
         tm = np.asarray(jax.device_get(state_m.table))
         np.testing.assert_allclose(tm, t1, rtol=5e-3, atol=1e-4)
+
+
+def test_sharded_streaming_wd_matches_single_device(sparse_small):
+    """Model-axis-sharded streaming W&D == single-device packed W&D
+    (packed master sharded; flat-agg core + tower replicated)."""
+    from lightctr_tpu.models import ffm_kernel, widedeep_kernel
+    from lightctr_tpu.parallel.sharded_kernel import (
+        make_sharded_streaming_wd_step,
+        shard_streaming_wd_state,
+    )
+
+    ds = sparse_small
+    V, B, F, capacity = 1024, 128, 5, 512
+    cfg = widedeep_kernel.KernelWDConfig(
+        n_features=V, n_fields=F, embed_dim=4, hidden=(8,),
+        learning_rate=0.25, mlp_learning_rate=1e-3, l2=1e-4,
+        interpret=True, exact=True,
+    )
+
+    state_1 = widedeep_kernel.streaming_init_packed(
+        jax.random.PRNGKey(0), cfg)
+    step_1 = widedeep_kernel.make_streaming_train_step_packed(cfg,
+                                                              capacity)
+    mesh = make_mesh(data=1, model=8)
+    state_8 = shard_streaming_wd_state(
+        widedeep_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg),
+        mesh)
+    step_8 = make_sharded_streaming_wd_step(cfg, capacity, mesh)
+
+    losses_1, losses_8 = [], []
+    for epoch in range(3):
+        for b in sparse_batches(ds, B):
+            ids = np.asarray(b["ids"]) % V
+            arrays = ffm_kernel.plan_batch_on_device(
+                jnp.asarray(ids, jnp.int32), jnp.asarray(b["vals"]),
+                jnp.asarray(b["mask"]),
+                jnp.asarray(np.asarray(b["fields"]) % F, jnp.int32),
+                jnp.asarray(b["labels"]), jnp.asarray(b["row_mask"]),
+                capacity=capacity,
+            )
+            state_1, l1 = step_1(state_1, arrays)
+            state_8, l8 = step_8(state_8, arrays)
+            losses_1.append(float(l1))
+            losses_8.append(float(l8))
+
+    np.testing.assert_allclose(losses_8, losses_1, rtol=1e-5)
+    assert losses_8[-1] < 0.8 * losses_8[0]
+    p1 = np.asarray(state_1.packed)
+    p8 = np.asarray(jax.device_get(state_8.packed))
+    np.testing.assert_allclose(p8, p1, rtol=1e-4, atol=1e-6)
