@@ -301,3 +301,31 @@ def test_engine_data_mesh_falls_back_unsharded(monkeypatch):
                                       epochs=3, log=None, mesh=mesh)
     assert np.isfinite(losses).all()
     assert np.asarray(params["v"]).shape == (300, 6, 2)
+
+
+def test_group_partition_octave_mode():
+    """octave=True quantises capacities AND group boundaries to
+    slot_pad*2^k count-octaves — the stability property the serving
+    layout reuse builds on."""
+    import numpy as np
+
+    from lightctr_tpu.models import ffm_kernel
+
+    rng = np.random.default_rng(2)
+    B, L, V, F = 64, 16, 5000, 8
+    ids = (rng.integers(0, V // F, (B, L)) * F
+           + rng.integers(0, F, (B, L))).astype(np.int64)
+    # force id -> field consistency (id % F is the field)
+    fields = (ids % F).astype(np.int64)
+    plan = ffm_kernel.plan_batch_grouped(
+        ids, np.ones((B, L), np.float32), np.ones((B, L), np.float32),
+        fields, np.zeros((B,), np.float32), slot_pad=16, n_fields=F,
+        octave=True)
+    assert plan is not None
+    for r in plan.r_g:
+        k = r // 16
+        assert k & (k - 1) == 0, f"capacity {r} is not 16*2^k"
+    # capacities cover the true counts
+    csort = np.sort(plan.cnts)[::-1][: plan.n_active]
+    for s, e, r in zip(plan.f_start, plan.f_end, plan.r_g):
+        assert csort[s:e].max() <= r
