@@ -87,10 +87,10 @@ def main(argv=None):
     t.add_argument("--test", default=None)
     t.add_argument("--engine", default="dense", choices=["dense", "kernel"],
                    help="dense = autodiff XLA step; kernel = fused Pallas "
-                        "trainers (fm/nfm streaming, ffm full-batch) — the "
-                        "fast path bench.py measures")
+                        "trainers (fm/nfm/widedeep streaming, ffm "
+                        "full-batch) — the fast path bench.py measures")
     t.add_argument("--partitioned", action="store_true",
-                   help="kernel FM streaming only: store the vocab master "
+                   help="kernel FM/NFM/W&D streaming: store the vocab master "
                         "as id-range PARTITIONS so skewed traffic's hot "
                         "head pays small-table scatter rates (PARITY.md "
                         "partitioned-master row); uniform traffic gains "
@@ -265,15 +265,22 @@ def main(argv=None):
                     "trainers stream by their own batch planner); drop "
                     "--mesh or drop --stream")
         if args.engine == "kernel":
-            if args.model not in ("fm", "nfm", "ffm"):
+            if args.model not in ("fm", "nfm", "ffm", "widedeep"):
+                raise SystemExit(f"--engine kernel supports fm/nfm/ffm/"
+                                 f"widedeep, not {args.model}")
+            if args.partitioned and (
+                    args.model not in ("fm", "nfm", "widedeep")
+                    or args.mesh):
                 raise SystemExit(
-                    f"--engine kernel supports fm/nfm/ffm, not {args.model}")
-            if args.partitioned and (args.model not in ("fm", "nfm")
-                                     or args.mesh):
+                    "--partitioned is the single-chip kernel FM/NFM/W&D "
+                    "streaming master layout (use --model fm|nfm|"
+                    "widedeep without --mesh)")
+            if args.model == "widedeep" and args.mesh:
                 raise SystemExit(
-                    "--partitioned is the single-chip kernel FM/NFM "
-                    "streaming master layout (use --model fm|nfm "
-                    "without --mesh)")
+                    "kernel W&D shards via parallel.sharded_kernel."
+                    "make_sharded_streaming_wd_step (library API); the "
+                    "CLI engine is single-chip — drop --mesh or use the "
+                    "dense trainer")
             from .train.kernel_engine import KERNEL_ENGINES
             from .train.loop import evaluate
 
@@ -296,6 +303,12 @@ def main(argv=None):
             elif args.model == "nfm":
                 hidden = tuple(int(h) for h in args.hidden.split(",") if h)
                 kw.update(batch_size=args.batch_size, hidden=hidden,
+                          partitioned=args.partitioned)
+            elif args.model == "widedeep":
+                hidden = tuple(int(h) for h in args.hidden.split(",") if h)
+                kw.pop("factor", None)
+                kw.update(batch_size=args.batch_size, hidden=hidden,
+                          embed_dim=args.factor,
                           partitioned=args.partitioned)
             elif args.model == "ffm" and args.stream:
                 kw.update(batch_size=args.batch_size)

@@ -276,6 +276,31 @@ def make_streaming_train_step_fused(cfg: KernelWDConfig, capacity: int):
     return step
 
 
+def make_streaming_train_step_fused_partitioned(cfg: KernelWDConfig,
+                                                capacity: int,
+                                                bounds: tuple,
+                                                caps: tuple):
+    """ONE-dispatch W&D step on raw [B, L] batches against the
+    range-partitioned master (device planner traced in). Returns
+    step(state, ids, vals, mask, fields, labels, row_mask, hyper) ->
+    ((state, loss), overflow)."""
+    assert cfg.n_features < 2**31 - 1, (
+        "device planner is int32 with INT32_MAX as the pad sentinel")
+    inner = make_streaming_train_step_partitioned(cfg, capacity, bounds,
+                                                  caps)
+    inner_raw = inner.__wrapped__
+    plan_raw = ffm_kernel.plan_batch_on_device.__wrapped__
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: StreamingWDStatePartitioned, ids, vals, mask, fields,
+             labels, row_mask, hyper=None):
+        b = plan_raw(ids, vals, mask, fields, labels, row_mask,
+                     capacity=capacity)
+        return inner_raw(state, b, hyper)
+
+    return step
+
+
 def export_streaming_params(state: StreamingWDStatePacked,
                             cfg: KernelWDConfig) -> dict:
     """-> params dict usable with models/widedeep.forward (vocab space)."""

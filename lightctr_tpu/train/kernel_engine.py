@@ -891,8 +891,74 @@ def _train_ffm_kernel_sharded(ds, mesh, factor, learning_rate, l2, epochs,
     return ffm_kernel.export_streaming_params(state, cfg), epoch_losses
 
 
+def train_widedeep_kernel(ds, embed_dim=4, hidden=(50,),
+                          learning_rate=0.05, mlp_learning_rate=1e-3,
+                          l2=0.0, epochs=5, batch_size=256, seed=0,
+                          exact=True, log=print, activation="tanh",
+                          partitioned=False):
+    """-> (params dict {w0,w,embed,mlp} for models/widedeep, per-epoch
+    losses). Streaming vocab-master W&D (models/widedeep_kernel.py —
+    the reference's PS-mode flagship at production scale): fused
+    one-dispatch steps with per-batch capacity octaves; partitioned=True
+    uses the range-partitioned master. The dense train_model path
+    remains the right tool for small full-batch runs (107-212x the
+    reference's PS cluster at the bundled regime, PARITY.md); this
+    engine exists for vocab scales where the dense optimizer's
+    full-table update is the bottleneck. NOTE the flat-agg count
+    matrix is [B*n_fields, capacity] — keep batch_size*n_fields*capacity
+    within HBM (B<=1024 at F=68/10M-vocab zipf; NEXT_STEPS shape math)."""
+    from ..models import widedeep_kernel
+
+    cfg = widedeep_kernel.KernelWDConfig(
+        n_features=ds.n_features, n_fields=ds.n_fields,
+        embed_dim=embed_dim, hidden=tuple(hidden), activation=activation,
+        learning_rate=learning_rate, mlp_learning_rate=mlp_learning_rate,
+        l2=l2, exact=exact, interpret=_interpret())
+    batch_size = min(batch_size, len(ds))
+    L = ds.ids.shape[1]
+    cap_max = _round_up(min(batch_size * L, ds.n_features) + TILE + 1,
+                        2 * TILE)
+    rng = jax.random.PRNGKey(seed)
+    part_bounds = _partition_bounds(ds.n_features) if partitioned else None
+    if part_bounds is not None and len(part_bounds) < 2:
+        part_bounds = None
+    state = widedeep_kernel.streaming_init_packed(rng, cfg)
+    if part_bounds is not None:
+        state = widedeep_kernel.partition_streaming_state(state,
+                                                          part_bounds)
+    steps: dict = {}
+
+    def step_for(key):
+        if key not in steps:
+            if isinstance(key, tuple):
+                cap, caps = key
+                inner = (widedeep_kernel
+                         .make_streaming_train_step_fused_partitioned(
+                             cfg, cap, part_bounds, caps))
+
+                def run(state, *b, _inner=inner):
+                    (state, loss), _overflow = _inner(state, *b)
+                    return state, loss
+
+                steps[key] = run
+            else:
+                steps[key] = widedeep_kernel.make_streaming_train_step_fused(
+                    cfg, key)
+        return steps[key]
+
+    state, epoch_losses = _stream_epochs(
+        ds, state, batch_size, epochs, seed, 2 * TILE, cap_max, step_for,
+        keys=("ids", "vals", "mask", "fields", "labels", "row_mask"),
+        int_keys=("ids", "fields"), log=log, part_bounds=part_bounds)
+    if part_bounds is not None:
+        state = widedeep_kernel.departition_streaming_state(state)
+    return widedeep_kernel.export_streaming_params(state, cfg), \
+        epoch_losses
+
+
 KERNEL_ENGINES = {
     "fm": train_fm_kernel,
     "nfm": train_nfm_kernel,
     "ffm": train_ffm_kernel,
+    "widedeep": train_widedeep_kernel,
 }

@@ -259,3 +259,25 @@ def test_cli_stream_rejects_unsupported_combinations(tiny_libffm):
     with pytest.raises(SystemExit, match="single-device"):
         main(base + ["--model", "ffm", "--engine", "kernel",
                      "--mesh", "2x1"])
+
+
+def test_cli_train_widedeep_kernel_engine(tiny_libffm, tmp_path, capsys):
+    """--engine kernel --model widedeep: the streaming vocab-master W&D
+    trainer through the CLI (+ --partitioned layout)."""
+    main([
+        "train", "--model", "widedeep", "--engine", "kernel",
+        "--factor", "4", "--hidden", "8", "--train", tiny_libffm,
+        "--epochs", "3", "--lr", "0.1", "--batch-size", "64",
+        "--ckpt", str(tmp_path / "wd"),
+    ])
+    out = capsys.readouterr().out
+    assert "train:" in out and "auc" in out
+
+    main([
+        "train", "--model", "widedeep", "--engine", "kernel",
+        "--partitioned", "--factor", "4", "--hidden", "8",
+        "--train", tiny_libffm, "--epochs", "3", "--lr", "0.1",
+        "--batch-size", "64",
+    ])
+    out = capsys.readouterr().out
+    assert "train:" in out and "auc" in out

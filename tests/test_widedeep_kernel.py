@@ -148,3 +148,38 @@ def test_wd_fused_matches_separate():
             jnp.asarray(b["fields"].astype(np.int32)),
             jnp.asarray(b["labels"]), jnp.asarray(b["row_mask"]))
         np.testing.assert_allclose(float(lf), float(ls), rtol=1e-6)
+
+
+def test_engine_widedeep_kernel_partitioned_matches_default(monkeypatch):
+    """train_widedeep_kernel streams, learns, and partitioned=True
+    reproduces the default trajectory (same shuffling, per-batch path)."""
+    from lightctr_tpu.data.libffm import SparseDataset
+    from lightctr_tpu.train import kernel_engine
+
+    monkeypatch.setattr(kernel_engine, "EPOCH_SCAN_MAX_POSITIONS", 0)
+
+    rng = np.random.default_rng(4)
+    n, L, V, F = 256, 32, 70_000, 5
+    ids = np.where(
+        rng.random((n, L)) < 0.5,
+        rng.integers(0, 64, (n, L)),
+        rng.integers(0, V, (n, L)),
+    ).astype(np.int32)
+    mask = (rng.random((n, L)) > 0.1).astype(np.float32)
+    ds = SparseDataset(
+        ids=ids, vals=np.ones((n, L), np.float32),
+        fields=(ids % F).astype(np.int32), mask=mask,
+        labels=rng.integers(0, 2, (n,)).astype(np.float32),
+        nnz=mask.sum(1).astype(np.int32), n_features=V, n_fields=F)
+
+    kw = dict(embed_dim=4, hidden=(8,), learning_rate=0.1, l2=1e-4,
+              epochs=2, batch_size=64, seed=0, exact=True, log=None)
+    params_d, losses_d = kernel_engine.train_widedeep_kernel(ds, **kw)
+    assert losses_d[-1] < losses_d[0]
+    assert params_d["embed"].shape == (V, 4)
+    params_q, losses_q = kernel_engine.train_widedeep_kernel(
+        ds, partitioned=True, **kw)
+    np.testing.assert_allclose(losses_q, losses_d, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(params_q["embed"]),
+                               np.asarray(params_d["embed"]),
+                               rtol=1e-5, atol=5e-6)
