@@ -266,6 +266,12 @@ def count_unique_ranges_native(flat_ids: np.ndarray, valid: np.ndarray,
         return None
     if flat_ids.min() < 0 or flat_ids.max() >= _PLAN_MAX_ID:
         return None
+    if int(flat_ids.max()) >= int(bounds[-1]):
+        # ids past the last bound would fall in NO bin (the numpy
+        # fallback counts them in n_unique) — refuse rather than let the
+        # native/numpy paths silently disagree on machines with/without
+        # a compiler
+        return None
     ids = np.ascontiguousarray(flat_ids, np.int64)
     v = np.ascontiguousarray(valid, np.float32).reshape(-1)
     b = np.ascontiguousarray(np.asarray(bounds), np.int64)

@@ -610,10 +610,11 @@ def _group_partition(csort: np.ndarray, max_groups: int, pad: int,
     (boundaries, r_g): boundaries[k]..boundaries[k+1] is segment k.
 
     octave=True rounds each count to pad * 2^k BEFORE the DP, so group
-    boundaries land where the count OCTAVE changes — under traffic
-    jitter the octaves (and hence the whole layout) stay put, which is
-    what keeps the forward-only scorer's compile key stable across
-    batches (serve/scorer.make_ffm_grouped_scorer)."""
+    boundaries land where the count OCTAVE changes and the whole layout
+    stays put under traffic jitter. NOTE: the production grouped scorer
+    ended up on a stronger mechanism — a FROZEN calibrated layout with
+    slack hysteresis (layout_from_batch / plan_into_layout) — so this
+    mode is a tested library option, not a product dependency."""
     A = len(csort)
     if octave:
         r_of = [_octave_up(max(int(c), 1), pad) for c in csort]

@@ -1145,18 +1145,24 @@ class StreamingFMStatePartitioned(NamedTuple):
     parts: tuple
 
 
-def partition_streaming_state(state: StreamingFMStatePacked,
-                              bounds: tuple) -> StreamingFMStatePartitioned:
-    """Split a packed [V, 2D] master into range partitions (bounds
-    ascending, bounds[-1] == V)."""
-    V = state.packed.shape[0]
+def split_packed_by_bounds(packed, bounds: tuple) -> tuple:
+    """Split a packed [V, W] master into range partitions (bounds
+    ascending, bounds[-1] == V) — shared by the FM/NFM/W&D
+    partition_streaming_state splitters."""
+    V = packed.shape[0]
     assert tuple(sorted(bounds)) == tuple(bounds) and bounds[-1] == V, bounds
     parts, base = [], 0
     for b in bounds:
-        parts.append(state.packed[base:b])
+        parts.append(packed[base:b])
         base = b
-    return StreamingFMStatePartitioned(state.w0, state.w0_accum,
-                                       tuple(parts))
+    return tuple(parts)
+
+
+def partition_streaming_state(state: StreamingFMStatePacked,
+                              bounds: tuple) -> StreamingFMStatePartitioned:
+    return StreamingFMStatePartitioned(
+        state.w0, state.w0_accum,
+        split_packed_by_bounds(state.packed, bounds))
 
 
 def departition_streaming_state(

@@ -494,15 +494,12 @@ class StreamingNFMStatePartitioned(NamedTuple):
 
 def partition_streaming_state(state: StreamingNFMStatePacked,
                               bounds: tuple) -> StreamingNFMStatePartitioned:
-    V = state.packed.shape[0]
-    assert tuple(sorted(bounds)) == tuple(bounds) and bounds[-1] == V, bounds
-    parts, base = [], 0
-    for b in bounds:
-        parts.append(state.packed[base:b])
-        base = b
-    return StreamingNFMStatePartitioned(state.w0, state.w0_accum,
-                                        tuple(parts), state.mlp,
-                                        state.mlp_opt)
+    from .fm_kernel import split_packed_by_bounds
+
+    return StreamingNFMStatePartitioned(
+        state.w0, state.w0_accum,
+        split_packed_by_bounds(state.packed, bounds), state.mlp,
+        state.mlp_opt)
 
 
 def departition_streaming_state(

@@ -70,13 +70,11 @@ class KernelWDConfig:
 
 
 def _mlp_tx(cfg: KernelWDConfig):
-    from .. import optim
+    # duck-typed (mlp_optimizer + mlp_learning_rate) — one definition
+    # for every tower-carrying kernel family
+    from .nfm_kernel import _mlp_tx as _nfm_mlp_tx
 
-    if cfg.mlp_optimizer == "adagrad":
-        return optim.adagrad(cfg.mlp_learning_rate)
-    if cfg.mlp_optimizer != "adam":
-        raise ValueError(f"unknown mlp_optimizer {cfg.mlp_optimizer!r}")
-    return optim.adam(cfg.mlp_learning_rate)
+    return _nfm_mlp_tx(cfg)
 
 
 class StreamingWDStatePacked(NamedTuple):
@@ -212,15 +210,12 @@ class StreamingWDStatePartitioned(NamedTuple):
 
 def partition_streaming_state(state: StreamingWDStatePacked,
                               bounds: tuple) -> StreamingWDStatePartitioned:
-    V = state.packed.shape[0]
-    assert tuple(sorted(bounds)) == tuple(bounds) and bounds[-1] == V
-    parts, base = [], 0
-    for b in bounds:
-        parts.append(state.packed[base:b])
-        base = b
-    return StreamingWDStatePartitioned(state.w0, state.w0_accum,
-                                       tuple(parts), state.mlp,
-                                       state.mlp_opt)
+    from .fm_kernel import split_packed_by_bounds
+
+    return StreamingWDStatePartitioned(
+        state.w0, state.w0_accum,
+        split_packed_by_bounds(state.packed, bounds), state.mlp,
+        state.mlp_opt)
 
 
 def departition_streaming_state(

@@ -370,7 +370,9 @@ def make_sharded_streaming_nfm_step(cfg: KernelNFMConfig, capacity: int,
         f"parallel.sharding.round_up_vocab(n, {M})"
     )
     rows_per_shard = V // M
-    tx = optim.adam(cfg.mlp_learning_rate)
+    from ..models.nfm_kernel import _mlp_tx as _nfm_tx
+
+    tx = _nfm_tx(cfg)   # honors cfg.mlp_optimizer (adam/adagrad)
 
     def local_step(table_l, accum_l, w0, w0_accum, mlp, mlp_opt, b, hyper):
         lr, l2 = hyper[0], hyper[1]
@@ -655,7 +657,9 @@ def make_dp_sharded_streaming_nfm_step(cfg: KernelNFMConfig, capacity: int,
         f"parallel.sharding.round_up_vocab(n, {M})"
     )
     rows_per_shard = V // M
-    tx = optim.adam(cfg.mlp_learning_rate)
+    from ..models.nfm_kernel import _mlp_tx as _nfm_tx
+
+    tx = _nfm_tx(cfg)   # honors cfg.mlp_optimizer (adam/adagrad)
 
     def local_step(table_l, accum_l, w0, w0_accum, mlp, mlp_opt, b, hyper):
         lr, l2 = hyper[0], hyper[1]
@@ -1176,7 +1180,9 @@ def make_sharded_streaming_wd_step(cfg, capacity: int, mesh: Mesh,
         f"parallel.sharding.round_up_vocab(n, {M})"
     )
     rows_per_shard = V // M
-    tx = optim.adam(cfg.mlp_learning_rate)
+    from ..models.widedeep_kernel import _mlp_tx as _wd_tx
+
+    tx = _wd_tx(cfg)    # honors cfg.mlp_optimizer (adam/adagrad)
     cdt = jnp.float32 if cfg.exact else jnp.bfloat16
 
     def local_step(packed_l, w0, w0_accum, mlp, mlp_opt, b, hyper):

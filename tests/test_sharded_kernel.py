@@ -554,3 +554,33 @@ def test_sharded_streaming_wd_matches_single_device(sparse_small):
     p1 = np.asarray(state_1.packed)
     p8 = np.asarray(jax.device_get(state_8.packed))
     np.testing.assert_allclose(p8, p1, rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_wd_honors_mlp_optimizer(sparse_small):
+    """Regression (r5 review): the sharded twins must build the tower
+    optimizer from cfg.mlp_optimizer — an adagrad config previously hit
+    the hardcoded Adam update with adagrad opt-state and crashed."""
+    from lightctr_tpu.models import ffm_kernel, widedeep_kernel
+    from lightctr_tpu.parallel.sharded_kernel import (
+        make_sharded_streaming_wd_step,
+        shard_streaming_wd_state,
+    )
+
+    V, F, capacity = 1024, 5, 512
+    cfg = widedeep_kernel.KernelWDConfig(
+        n_features=V, n_fields=F, embed_dim=4, hidden=(8,),
+        mlp_optimizer="adagrad", interpret=True, exact=True)
+    mesh = make_mesh(data=1, model=8)
+    state = shard_streaming_wd_state(
+        widedeep_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg),
+        mesh)
+    step = make_sharded_streaming_wd_step(cfg, capacity, mesh)
+    b = next(iter(sparse_batches(sparse_small, 128)))
+    arrays = ffm_kernel.plan_batch_on_device(
+        jnp.asarray(np.asarray(b["ids"]) % V, jnp.int32),
+        jnp.asarray(b["vals"]), jnp.asarray(b["mask"]),
+        jnp.asarray(np.asarray(b["fields"]) % F, jnp.int32),
+        jnp.asarray(b["labels"]), jnp.asarray(b["row_mask"]),
+        capacity=capacity)
+    state, loss = step(state, arrays)
+    assert np.isfinite(float(loss))
