@@ -306,6 +306,39 @@ def production_main():
             dtwq * 1e3, 3)
         del wstate, wstate_q
 
+        # FFM at production streaming scale (r5): V=1M is the one-chip
+        # ceiling — the [V, 1+F*K] master + accum at F=68/K=4 is ~3 GB;
+        # 10M would need the sharded FFM (the family where sharding's
+        # per-chip memory win is largest, parallel/sharded_kernel).
+        # Same flat-agg batch wall as W&D: B=1024 (C is [B*F, R]).
+        vocab_f = 1_048_576
+        idsf = np.minimum(rng.zipf(1.2, (Bw, L)) - 1,
+                          vocab_f - 1).astype(np.int32)
+        nu_f = len(np.unique(idsf))
+        cap_f = int(np.ceil((nu_f + 513) / 1024) * 1024)
+        fcfg_p = ffm_kernel.KernelFFMConfig(
+            n_features=vocab_f, n_fields=Fw, factor=4,
+            learning_rate=0.05, exact=False, agg=True)
+        fstate_p = ffm_kernel.streaming_init(jax.random.PRNGKey(0),
+                                             fcfg_p)
+        fstep_p = ffm_kernel.make_streaming_train_step_fused(
+            fcfg_p, cap_f, fields_partition=True)
+        fargs = (jnp.asarray(idsf), jnp.asarray(ones_w),
+                 jnp.asarray(ones_w),
+                 jnp.asarray((idsf % Fw).astype(np.int32)),
+                 jnp.asarray(rng.integers(0, 2, (Bw,)).astype(np.float32)),
+                 jnp.asarray(np.ones((Bw,), np.float32)))
+        fstate_p, loss = fstep_p(fstate_p, *fargs)
+        float(loss)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            fstate_p, loss = fstep_p(fstate_p, *fargs)
+        float(loss)
+        dtf = (time.perf_counter() - t0) / n
+        out[f"production_ffm_{name}examples_per_sec"] = round(Bw / dtf, 1)
+        out[f"production_ffm_{name}step_ms"] = round(dtf * 1e3, 3)
+        del fstate_p
+
         # ---- HONEST end-to-end row (r5, VERDICT r4 weak #3 / next #4):
         # 100 DISTINCT zipf batches through the ENGINE's fused
         # partitioned path (device planner traced into the step,
