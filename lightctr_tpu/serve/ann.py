@@ -179,6 +179,14 @@ class IVFIndex:
     occupancy; training runs on a subsample (train_size) with the full
     assignment done in chunks (the full [N, C] distance matrix would be
     hundreds of GB at 10M x 8k).
+
+    Tuning rule (measured at 10M, PARITY.md r5): recall is a function
+    of PROBED VOLUME (nprobe * bucket_cap) — at equal volume, cluster
+    count doesn't move it — and large-batch query cost is the bucket
+    gather's volume * ~1.7 ns/elem. So to trade recall for throughput,
+    halve nprobe or bucket_cap (with proportionally more clusters to
+    keep the tail small): 16384 clusters / cap 1280 / nprobe 16 runs 2x
+    the B>=64 QPS of the default at recall 0.95.
     """
 
     def __init__(self, items, n_clusters: int = 4096,
