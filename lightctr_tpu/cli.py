@@ -301,10 +301,22 @@ def main(argv=None):
                           wide_optimizer=("ftrl" if args.optimizer == "ftrl"
                                           else "adagrad"))
             elif args.model == "nfm":
+                if args.optimizer != "adagrad":
+                    raise SystemExit(
+                        "kernel NFM fixes the wide/embedding optimizer "
+                        "to Adagrad (reference tower semantics, "
+                        "PARITY.md); --optimizer has no effect here — "
+                        "drop it or use --engine dense")
                 hidden = tuple(int(h) for h in args.hidden.split(",") if h)
                 kw.update(batch_size=args.batch_size, hidden=hidden,
                           partitioned=args.partitioned)
             elif args.model == "widedeep":
+                if args.optimizer != "adagrad":
+                    raise SystemExit(
+                        "kernel W&D fixes the wide/embedding optimizer "
+                        "to Adagrad (server-side-update semantics); "
+                        "--optimizer has no effect here — drop it or "
+                        "use --engine dense")
                 hidden = tuple(int(h) for h in args.hidden.split(",") if h)
                 kw.pop("factor", None)
                 kw.update(batch_size=args.batch_size, hidden=hidden,

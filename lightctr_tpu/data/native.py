@@ -264,9 +264,16 @@ def count_unique_ranges_native(flat_ids: np.ndarray, valid: np.ndarray,
     n = int(flat_ids.size)
     if lib is None or n == 0:
         return None
-    if flat_ids.min() < 0 or flat_ids.max() >= _PLAN_MAX_ID:
+    m = np.asarray(valid).reshape(-1) > 0
+    if not m.any():
+        return np.zeros((len(bounds),), np.int64)
+    # guards over VALID ids only: masked-out positions may carry
+    # sentinel ids, and both paths ignore them identically
+    vmin = int(flat_ids[m].min())
+    vmax = int(flat_ids[m].max())
+    if vmin < 0 or vmax >= _PLAN_MAX_ID:
         return None
-    if int(flat_ids.max()) >= int(bounds[-1]):
+    if vmax >= int(bounds[-1]):
         # ids past the last bound would fall in NO bin (the numpy
         # fallback counts them in n_unique) — refuse rather than let the
         # native/numpy paths silently disagree on machines with/without

@@ -125,20 +125,15 @@ def _logits_from_rank(cfg: KernelWDConfig, rows, w0, mlp, C, B: int):
     return w0 + wx + deep
 
 
-def _rank_core_wd(cfg: KernelWDConfig, tx, pulled, b, R: int,
-                  w0, w0_accum, mlp, mlp_opt, lr, l2):
-    """pull -> flat-agg forward/backward -> row-sparse Adagrad + tower
-    Adam, in RANK space on the [R, 32] pulled rows. Shared by the
-    packed and partitioned steps (trajectory-identical by
-    construction)."""
-    from .. import optim
-
-    D = K.D
-    n_unique = b["n_unique"]
-    rows = pulled[:, :D]
-    acc = pulled[:, D:]
-    rows = rows.at[R - 1].set(0.0)   # padding rank reads zero
-
+def _wd_loss_and_grads(cfg: KernelWDConfig, rows, b, R: int, w0, mlp,
+                       l2):
+    """The drift-prone middle of every W&D step: count matrix +
+    flat-agg forward + autodiff backward + L2, on REPLICATED rank rows.
+    Shared by the packed/partitioned cores AND the sharded twin
+    (parallel/sharded_kernel.make_sharded_streaming_wd_step), so the
+    loss math can never diverge between them. Returns
+    (loss, g_rows [R, D] incl. L2, g0, d_mlp) — callers apply their own
+    ownership/validity masks and optimizer structure."""
     B, L = b["xv"].shape
     cdt = jnp.float32 if cfg.exact else jnp.bfloat16
     C = ffm_kernel.count_matrix(b["ranks"], b["fields"], b["xv"], R,
@@ -153,7 +148,25 @@ def _rank_core_wd(cfg: KernelWDConfig, tx, pulled, b, R: int,
 
     loss, (g_rows, g0, d_mlp) = jax.value_and_grad(
         loss_fn, argnums=(0, 1, 2))(rows, w0, mlp)
-    g_rows = g_rows + l2 * rows
+    return loss, g_rows + l2 * rows, g0, d_mlp
+
+
+def _rank_core_wd(cfg: KernelWDConfig, tx, pulled, b, R: int,
+                  w0, w0_accum, mlp, mlp_opt, lr, l2):
+    """pull -> flat-agg forward/backward -> row-sparse Adagrad + tower
+    Adam, in RANK space on the [R, 32] pulled rows. Shared by the
+    packed and partitioned steps (trajectory-identical by
+    construction)."""
+    from .. import optim
+
+    D = K.D
+    n_unique = b["n_unique"]
+    rows = pulled[:, :D]
+    acc = pulled[:, D:]
+    rows = rows.at[R - 1].set(0.0)   # padding rank reads zero
+
+    loss, g_rows, g0, d_mlp = _wd_loss_and_grads(cfg, rows, b, R, w0,
+                                                 mlp, l2)
 
     pos = jnp.arange(R)
     m = (pos < n_unique).astype(jnp.float32)[:, None]
@@ -258,6 +271,9 @@ def make_streaming_train_step_fused(cfg: KernelWDConfig, capacity: int):
     assert cfg.n_features < 2**31 - 1, (
         "device planner is int32 with INT32_MAX as the pad sentinel")
     inner = make_streaming_train_step_packed(cfg, capacity)
+    # trace through the jitted wrappers (their donation marks don't apply
+    # inside an outer jit); donation lives on THIS boundary instead —
+    # the same composition as fm_kernel.make_streaming_train_step_fused
     inner_raw = inner.__wrapped__
     plan_raw = ffm_kernel.plan_batch_on_device.__wrapped__
 

@@ -1164,10 +1164,9 @@ def make_sharded_streaming_wd_step(cfg, capacity: int, mesh: Mesh,
     the packed master. Batch dict from ffm_kernel.plan_batch_on_device
     (it carries fields). cfg: widedeep_kernel.KernelWDConfig."""
     from .. import optim
-    from ..models import ffm_kernel
     from ..models.widedeep_kernel import (
         StreamingWDStatePacked,
-        _logits_from_rank,
+        _wd_loss_and_grads,
     )
 
     wd = WIRE_DTYPES[wire]
@@ -1183,7 +1182,6 @@ def make_sharded_streaming_wd_step(cfg, capacity: int, mesh: Mesh,
     from ..models.widedeep_kernel import _mlp_tx as _wd_tx
 
     tx = _wd_tx(cfg)    # honors cfg.mlp_optimizer (adam/adagrad)
-    cdt = jnp.float32 if cfg.exact else jnp.bfloat16
 
     def local_step(packed_l, w0, w0_accum, mlp, mlp_opt, b, hyper):
         lr, l2 = hyper[0], hyper[1]
@@ -1199,20 +1197,11 @@ def make_sharded_streaming_wd_step(cfg, capacity: int, mesh: Mesh,
         rows = wire_psum(rows, "model", wd)
         rows = rows.at[R - 1].set(0.0)
 
-        B, L = b["xv"].shape
-        C = ffm_kernel.count_matrix(b["ranks"], b["fields"], b["xv"], R,
-                                    cfg.n_fields, cdt)
-        n_valid = jnp.maximum(jnp.sum(b["row_mask"]), 1.0)
-
-        def loss_fn(rows, w0, mlp):
-            z = _logits_from_rank(cfg, rows, w0, mlp, C, B)
-            per = (jnp.maximum(z, 0) - z * b["labels"]
-                   + jnp.log1p(jnp.exp(-jnp.abs(z))))
-            return jnp.sum(per * b["row_mask"]) / n_valid
-
-        loss, (g_rows, g0, d_mlp) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2))(rows, w0, mlp)
-        g_rows = g_rows + l2 * rows
+        # loss math shared VERBATIM with the single-device cores
+        # (widedeep_kernel._wd_loss_and_grads) — the trajectory-equality
+        # contract can't drift
+        loss, g_rows, g0, d_mlp = _wd_loss_and_grads(cfg, rows, b, R,
+                                                     w0, mlp, l2)
 
         pos = jnp.arange(R)
         m = (pos < n_unique).astype(jnp.float32)[:, None]
@@ -1250,8 +1239,6 @@ def make_sharded_streaming_wd_step(cfg, capacity: int, mesh: Mesh,
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, b: dict, hyper=None):
-        from ..models.widedeep_kernel import StreamingWDStatePacked
-
         h = default_hyper if hyper is None else hyper
         packed, w0, w0_accum, mlp, mlp_opt, loss = mapped(
             state.packed, state.w0, state.w0_accum, state.mlp,

@@ -324,8 +324,9 @@ def test_group_partition_octave_mode():
     assert plan is not None
     for r in plan.r_g:
         k = r // 16
-        assert k & (k - 1) == 0, f"capacity {r} is not 16*2^k"
-    # capacities cover the true counts
+        assert k >= 1 and k & (k - 1) == 0, f"capacity {r} is not 16*2^k"
+    # capacities cover the true counts; groups are non-empty
     csort = np.sort(plan.cnts)[::-1][: plan.n_active]
     for s, e, r in zip(plan.f_start, plan.f_end, plan.r_g):
+        assert e > s, "empty group segment"
         assert csort[s:e].max() <= r
