@@ -52,9 +52,14 @@ def main():
     rng = np.random.default_rng(0)
     n, L, V = args.rows, args.length, args.vocab
     ids = np.minimum(rng.zipf(args.zipf, (n, L)) - 1, V - 1).astype(np.int64)
-    # planted rule: rows touching the hottest 32 ids lean positive
+    # planted rule: rows touching the hottest 32 ids lean positive —
+    # centered on the MEDIAN hot-count so the classes stay balanced at
+    # every vocab/zipf shape (at 10M-vocab zipf almost every row touches
+    # hot ids; an absolute threshold saturates to one class)
     hot = (ids < 32).sum(axis=1)
-    labels = (rng.random(n) < 1 / (1 + np.exp(2.0 - hot))).astype(np.float32)
+    center = np.median(hot)
+    labels = (rng.random(n)
+              < 1 / (1 + np.exp(center - hot))).astype(np.float32)
     ds = SparseDataset(
         ids=ids,
         vals=np.ones((n, L), np.float32),
