@@ -26,7 +26,6 @@ model axis holds an 8x larger vocabulary than bench.py's single-chip run.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -46,7 +45,6 @@ from ..models.nfm_kernel import KernelNFMConfig, StreamingNFMState
 from ..nn.mlp import mlp_apply
 from .collectives import WIRE_DTYPES, wire_psum
 from ..ops import fm_fused_pallas as K
-from ..ops.embedding_pallas import blocked_scatter_add
 
 
 def shard_streaming_state(state: StreamingFMState, mesh: Mesh) -> StreamingFMState:
