@@ -341,14 +341,9 @@ class ShardedIVFIndex:
                 cs = 2.0 * cs - jnp.sum(cent * cent, axis=-1)[None, :]
             _, probe = jax.lax.top_k(cs, nprobe)          # [B, nprobe]
 
+            # bucket shortlist: per-query gather of the probed slots
             cand = bvecs[probe].reshape(b, -1, bvecs.shape[-1])
             cand_i = bids[probe].reshape(b, -1)
-            cand = jnp.concatenate(
-                [cand, jnp.broadcast_to(tvecs[None],
-                                        (b, *tvecs.shape))], axis=1)
-            cand_i = jnp.concatenate(
-                [cand_i, jnp.broadcast_to(tids[None], (b, tids.shape[0]))],
-                axis=1)
             if metric == "cos":
                 cand = cand / jnp.linalg.norm(
                     cand, axis=-1, keepdims=True).clip(1e-12)
@@ -357,15 +352,34 @@ class ShardedIVFIndex:
             if metric == "l2":
                 s = 2.0 * s - jnp.sum(cand * cand, axis=-1)
             s = jnp.where(cand_i < N, s, neg)
-            ls, lp = jax.lax.top_k(s, k)
-            li = jnp.take_along_axis(cand_i, lp, axis=1)
+            kb = min(k, s.shape[1])
+            bs, bp = jax.lax.top_k(s, kb)
+            bi = jnp.take_along_axis(cand_i, bp, axis=1)
+            # overflow tail: RESIDENT per-shard vectors, one matmul +
+            # its own top-k (the r5 _ivf_query tail redesign applied to
+            # the sharded layout — no [B, t_d, D] per-query broadcast)
+            tv = tvecs
+            if metric == "cos":
+                tv = tv / jnp.linalg.norm(
+                    tv, axis=-1, keepdims=True).clip(1e-12)
+            st = jnp.dot(q, tv.T, preferred_element_type=jnp.float32)
+            if metric == "l2":
+                st = 2.0 * st - jnp.sum(tvecs * tvecs, axis=-1)[None, :]
+            st = jnp.where(tids[None, :] < N, st, neg)
+            kt = min(k, st.shape[1])
+            ts_, tp = jax.lax.top_k(st, kt)
+            ti = tids[tp]
+            cat_ls = jnp.concatenate([bs, ts_], axis=1)
+            cat_li = jnp.concatenate([bi, ti], axis=1)
+            ls, lp = jax.lax.top_k(cat_ls, min(k, cat_ls.shape[1]))
+            li = jnp.take_along_axis(cat_li, lp, axis=1)
             # merge: every device sees all local winners, redundantly
             # computes the same global top-k (replicated output)
             gs = jax.lax.all_gather(ls, axis)             # [n_dev, B, k]
             gi = jax.lax.all_gather(li, axis)
             cat_s = jnp.swapaxes(gs, 0, 1).reshape(b, -1)
             cat_i = jnp.swapaxes(gi, 0, 1).reshape(b, -1)
-            fs, fp = jax.lax.top_k(cat_s, k)
+            fs, fp = jax.lax.top_k(cat_s, min(k, cat_s.shape[1]))
             return fs, jnp.take_along_axis(cat_i, fp, axis=1)
 
         mapped = shard_map(

@@ -545,6 +545,14 @@ def train_nfm_kernel(ds, factor=8, hidden=(64,), learning_rate=0.05,
     part_bounds = _partition_bounds(ds.n_features) if partitioned else None
     if part_bounds is not None and len(part_bounds) < 2:
         part_bounds = None                       # vocab too small to split
+    # BINARY wire (see train_fm_kernel): all-ones fixed-L datasets with
+    # full batches ship ids+labels only through the partitioned path
+    binary = (
+        part_bounds is not None
+        and len(ds) % batch_size == 0
+        and bool(np.all(np.asarray(ds.mask) == 1.0))
+        and bool(np.all(np.asarray(ds.vals) == 1.0))
+    )
     if part_bounds is not None:
         state = nfm_kernel.partition_streaming_state(
             nfm_kernel.streaming_init_packed(rng, cfg), part_bounds)
@@ -560,8 +568,12 @@ def train_nfm_kernel(ds, factor=8, hidden=(64,), learning_rate=0.05,
         if key not in steps:
             if isinstance(key, tuple):
                 cap, caps = key
-                inner = nfm_kernel.make_streaming_train_step_fused_partitioned(
-                    cfg, cap, b_pad, part_bounds, caps)
+                maker = (
+                    nfm_kernel
+                    .make_streaming_train_step_fused_partitioned_binary
+                    if binary else
+                    nfm_kernel.make_streaming_train_step_fused_partitioned)
+                inner = maker(cfg, cap, b_pad, part_bounds, caps)
 
                 def run(state, *b, _inner=inner):
                     # caps from each batch's true counts: no overflow
@@ -576,7 +588,8 @@ def train_nfm_kernel(ds, factor=8, hidden=(64,), learning_rate=0.05,
 
     state, epoch_losses = _stream_epochs(
         ds, state, batch_size, epochs, seed, cap_mult, capacity, step_for,
-        keys=("ids", "vals", "mask", "labels", "row_mask"),
+        keys=(("ids", "labels") if binary
+              else ("ids", "vals", "mask", "labels", "row_mask")),
         int_keys=("ids",), log=log, part_bounds=part_bounds)
     if part_bounds is not None:
         state = nfm_kernel.unpack_streaming_state(

@@ -298,3 +298,74 @@ def test_engine_nfm_partitioned_matches_default(monkeypatch):
     np.testing.assert_allclose(np.asarray(params_q["v"]),
                                np.asarray(params_d["v"]),
                                rtol=1e-5, atol=5e-6)
+
+
+def test_nfm_fused_partitioned_binary_matches_general():
+    """The ids+labels-only binary NFM step reproduces the general fused
+    partitioned trajectory on all-ones batches."""
+    V, capacity, b_pad = 4096, 2048, 128
+    bounds = (256, 1024, V)
+    caps = (256, 768, 2048)
+    cfg = nfm_kernel.KernelNFMConfig(
+        n_features=V, factor=4, hidden=(8,), learning_rate=0.1, l2=1e-4,
+        interpret=True, exact=True)
+    step_g = nfm_kernel.make_streaming_train_step_fused_partitioned(
+        cfg, capacity, b_pad, bounds, caps)
+    step_b = nfm_kernel.make_streaming_train_step_fused_partitioned_binary(
+        cfg, capacity, b_pad, bounds, caps)
+    st_g = nfm_kernel.partition_streaming_state(
+        nfm_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg),
+        bounds)
+    st_b = nfm_kernel.partition_streaming_state(
+        nfm_kernel.streaming_init_packed(jax.random.PRNGKey(0), cfg),
+        bounds)
+    rng = np.random.default_rng(9)
+    for i in range(3):
+        ids = rng.integers(0, V, (8, 64)).astype(np.int32)
+        labels = rng.integers(0, 2, (8,)).astype(np.float32)
+        ones = np.ones(ids.shape, np.float32)
+        (st_g, lg), ovg = step_g(
+            st_g, jnp.asarray(ids), jnp.asarray(ones), jnp.asarray(ones),
+            jnp.asarray(labels), jnp.ones((8,), jnp.float32))
+        (st_b, lb), ovb = step_b(st_b, jnp.asarray(ids),
+                                 jnp.asarray(labels))
+        assert not bool(ovg) and not bool(ovb)
+        np.testing.assert_allclose(float(lb), float(lg), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(nfm_kernel.departition_streaming_state(st_b).packed),
+        np.asarray(nfm_kernel.departition_streaming_state(st_g).packed),
+        rtol=1e-6)
+
+
+def test_engine_nfm_binary_gate_fires(monkeypatch):
+    """train_nfm_kernel(partitioned=True) auto-selects the binary wire
+    on an all-ones fixed-L dataset with full batches."""
+    from lightctr_tpu.data.libffm import SparseDataset
+    from lightctr_tpu.train import kernel_engine
+
+    monkeypatch.setattr(kernel_engine, "EPOCH_SCAN_MAX_POSITIONS", 0)
+    rng = np.random.default_rng(7)
+    n, L, V = 128, 32, 70_000
+    ids = rng.integers(0, V, (n, L)).astype(np.int32)
+    ds = SparseDataset(
+        ids=ids, vals=np.ones((n, L), np.float32),
+        fields=np.zeros((n, L), np.int32),
+        mask=np.ones((n, L), np.float32),
+        labels=rng.integers(0, 2, (n,)).astype(np.float32),
+        nnz=np.full((n,), L, np.int32), n_features=V, n_fields=1)
+
+    calls = []
+    orig = kernel_engine.nfm_kernel.make_streaming_train_step_fused_partitioned_binary
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(
+        kernel_engine.nfm_kernel,
+        "make_streaming_train_step_fused_partitioned_binary", spy)
+    _, losses = kernel_engine.train_nfm_kernel(
+        ds, factor=4, hidden=(8,), learning_rate=0.1, epochs=2,
+        batch_size=64, seed=0, exact=True, log=None, partitioned=True)
+    assert calls, "binary gate did not fire"
+    assert losses[-1] < losses[0]
