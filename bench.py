@@ -585,16 +585,17 @@ def extra_main():
     # lane-aligned width runs >2x the MFU at LOWER absolute step time
     # (benchmarks/bench_k64_bf16.py — the narrow-matmul occupancy story
     # completed with data).
-    cfg127 = fm_kernel.KernelFMConfig(
-        n_features=ds.n_features, factor=127, learning_rate=0.05,
-        xmat=True,
-    )
-    st127 = fm_kernel.init(jax.random.PRNGKey(0), cfg127, plan)
-    dt127 = time_scan(fm_kernel.make_train_step(cfg127, plan), st127, 200)
-    flops127 = 2 * 2 * plan.b_pad * plan.n_rows_pad * (128 + 127)
-    out["fm_k127_step_ms"] = round(dt127 * 1e3, 3)
-    out["fm_k127_mfu_pct"] = round(flops127 / dt127 / 197e12 * 100.0, 3)
-    print(json.dumps(out), flush=True)
+    for kw_, label in ((127, "fm_k127"), (255, "fm_k255")):
+        cfgw = fm_kernel.KernelFMConfig(
+            n_features=ds.n_features, factor=kw_, learning_rate=0.05,
+            xmat=True,
+        )
+        stw = fm_kernel.init(jax.random.PRNGKey(0), cfgw, plan)
+        dtw = time_scan(fm_kernel.make_train_step(cfgw, plan), stw, 200)
+        flopsw = 2 * 2 * plan.b_pad * plan.n_rows_pad * (2 * kw_ + 1)
+        out[f"{label}_step_ms"] = round(dtw * 1e3, 3)
+        out[f"{label}_mfu_pct"] = round(flopsw / dtw / 197e12 * 100.0, 3)
+        print(json.dumps(out), flush=True)
 
     # W&D: the head-to-head regime (embed 4, 272->50 tanh ->1, batch 50,
     # matched SGD 0.05, 30 epochs — distributed_algo_abst.h:93-117)
@@ -643,7 +644,7 @@ def main():
     extra = run_bounded_subprocess("--extra", {
         "nfm_step_ms": None, "nfm_examples_per_sec": None,
         "fm_k64_step_ms": None, "fm_k64_mfu_pct": None,
-        "fm_k127_mfu_pct": None,
+        "fm_k127_mfu_pct": None, "fm_k255_mfu_pct": None,
         "widedeep_examples_per_sec": None,
     })
 

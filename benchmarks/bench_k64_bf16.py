@@ -61,7 +61,7 @@ def main():
         flops = 2 * 2 * plan.b_pad * plan.n_rows_pad * ((k + 1) + k)
         return best, flops / best / 197e12 * 100.0
 
-    for k in (64, 127):
+    for k in (64, 127, 255):
         for exact in (True, False):
             label = f"k{k}_{'fp32' if exact else 'bf16'}"
             try:
