@@ -273,6 +273,14 @@ def test_cli_train_widedeep_kernel_engine(tiny_libffm, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "train:" in out and "auc" in out
 
+    # the kernel-trained checkpoint scores through the standard path
+    main([
+        "score", "--model", "widedeep", "--factor", "4", "--hidden", "8",
+        "--test", tiny_libffm, "--ckpt", str(tmp_path / "wd"),
+    ])
+    out = capsys.readouterr().out
+    assert "auc" in out
+
     main([
         "train", "--model", "widedeep", "--engine", "kernel",
         "--partitioned", "--factor", "4", "--hidden", "8",

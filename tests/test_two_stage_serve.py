@@ -326,3 +326,37 @@ def test_batch_score_scan_matches_per_batch():
     m1 = batch_score(ffm, cfg, params, ds, batch_size=64, scan=3)
     assert abs(m0["auc"] - m1["auc"]) < 1e-9
     assert abs(m0["logloss"] - m1["logloss"]) < 1e-7
+
+
+def test_scan_scorer_widedeep_and_nfm():
+    """make_scan_scorer works across the model zoo (widedeep needs
+    fields; nfm is field-free) — per-batch equality like the FFM test."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from lightctr_tpu.models import nfm, widedeep
+    from lightctr_tpu.serve.scorer import make_scan_scorer, make_scorer
+
+    rng = np.random.default_rng(13)
+    V, F, K, B, L = 600, 4, 3, 8, 6
+    ids = rng.integers(0, V, (K, B, L)).astype(np.int64)
+    batches = {
+        "ids": jnp.asarray(ids),
+        "vals": jnp.ones((K, B, L), jnp.float32),
+        "fields": jnp.asarray((ids % F).astype(np.int64)),
+        "mask": jnp.ones((K, B, L), jnp.float32),
+        "labels": jnp.zeros((K, B), jnp.float32),
+        "row_mask": jnp.ones((K, B), jnp.float32),
+    }
+    for mod, cfg in (
+        (widedeep, widedeep.WideDeepConfig(
+            n_features=V, n_fields=F, embed_dim=4, hidden=(8,))),
+        (nfm, nfm.NFMConfig(n_features=V, factor=4, hidden=(8,))),
+    ):
+        params = mod.init(jax.random.PRNGKey(0), cfg)
+        p_scan = np.asarray(make_scan_scorer(mod, cfg, params)(batches))
+        per = make_scorer(mod, cfg, params)
+        for k in range(K):
+            pk = np.asarray(per({key: v[k] for key, v in batches.items()}))
+            np.testing.assert_allclose(p_scan[k], pk, rtol=1e-6)
